@@ -1,0 +1,172 @@
+"""Jitted train and eval step factories.
+
+- Train step (reference epoch-loop body, run.py:322-347): one jit with
+  donated state — loss = mean(p_losses), AdamW(+per-epoch exponential lr
+  decay as a step schedule), gradients all-reduced over the mesh's data
+  axis by XLA.
+- Eval step (reference evaluate():557-596): flip test-time augmentation is
+  fused as a doubled batch through ONE DDIM sampling scan — the reference
+  runs the whole sampling loop twice (run.py:577-582); we concatenate
+  [x2d; x2d_flip], sample once, un-flip the second half with a static
+  joint-permutation gather, and average. Combined with the lax.scan DDIM
+  loop this makes an entire evaluation batch a single XLA program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from diff3dhpe_tpu.diffusion.gaussian_diffusion import GaussianDiffusion
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    opt_state: optax.OptState
+
+
+def make_denoise_fn(model) -> Callable:
+    """Adapt a flax module to the engine's denoise_fn(params, x, t, key)."""
+
+    def denoise_fn(params, x, t, dropout_key=None):
+        if dropout_key is None:
+            return model.apply({"params": params}, x, t, deterministic=True)
+        return model.apply(
+            {"params": params}, x, t, deterministic=False, rngs={"dropout": dropout_key}
+        )
+
+    return denoise_fn
+
+
+def make_optimizer(
+    learning_rate: float,
+    lr_decay: float,
+    steps_per_epoch: int,
+    weight_decay: float = 0.1,
+) -> optax.GradientTransformation:
+    """AdamW with the reference's per-epoch exponential decay (run.py:502-505)
+    expressed as a pure step->lr schedule (so resume restores lr from step)."""
+
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return learning_rate * (lr_decay ** epoch)
+
+    return optax.adamw(
+        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+    )
+
+
+def build_train_state(params, optimizer) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(
+    diffusion: GaussianDiffusion,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+):
+    """Returns jitted train_step(state, key, gt_3d_norm, input_2d) -> (state, loss)."""
+
+    def train_step(state: TrainState, key, gt_3d_norm, input_2d):
+        if mesh is not None:
+            from diff3dhpe_tpu.parallel.mesh import batch_sharding
+
+            gt_3d_norm = jax.lax.with_sharding_constraint(gt_3d_norm, batch_sharding(mesh))
+            input_2d = jax.lax.with_sharding_constraint(input_2d, batch_sharding(mesh))
+
+        diff_key, dropout_key = jax.random.split(key)
+
+        def loss_fn(params):
+            return diffusion.training_loss(
+                params, diff_key, gt_3d_norm, input_2d, dropout_key=dropout_key
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            loss,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def flip_pose_jnp(pose, joints_left: Sequence[int], joints_right: Sequence[int]):
+    """Negate x and swap left/right joints: [..., J, C] -> [..., J, C]."""
+    j = pose.shape[-2]
+    perm = np.arange(j)
+    perm[list(joints_left) + list(joints_right)] = np.array(
+        list(joints_right) + list(joints_left)
+    )
+    flipped = pose * jnp.array([-1.0] + [1.0] * (pose.shape[-1] - 1), pose.dtype)
+    return flipped[..., jnp.asarray(perm), :]
+
+
+def make_eval_step(
+    diffusion: GaussianDiffusion,
+    joints_left: Sequence[int],
+    joints_right: Sequence[int],
+    mesh=None,
+    repeat_n: int = 1,
+):
+    """Returns jitted eval_step(params, key, input_2d, input_2d_flip)
+    -> predicted_3d_norm [B, F_out, J, 3] (flip-TTA averaged)."""
+
+    jl, jr = list(joints_left), list(joints_right)
+
+    def eval_step(params, key, input_2d, input_2d_flip):
+        if mesh is not None:
+            from diff3dhpe_tpu.parallel.mesh import batch_sharding
+
+            input_2d = jax.lax.with_sharding_constraint(input_2d, batch_sharding(mesh))
+            input_2d_flip = jax.lax.with_sharding_constraint(
+                input_2d_flip, batch_sharding(mesh)
+            )
+        b, f, j, _ = input_2d.shape
+        f_out = f if diffusion.mode == "s2s" else 1
+        both = jnp.concatenate([input_2d, input_2d_flip], axis=0)
+        target_shape = (2 * b, f_out, j, 3)
+        pred = diffusion.estimate_pose(params, key, both, target_shape, repeat_n=repeat_n)
+        pred_normal, pred_flip = pred[:b], pred[b:]
+        pred_flip = flip_pose_jnp(pred_flip, jl, jr)
+        return (pred_normal + pred_flip) / 2.0
+
+    return jax.jit(eval_step)
+
+
+def make_val_step(
+    diffusion: GaussianDiffusion,
+    joints_left: Sequence[int],
+    joints_right: Sequence[int],
+    mesh=None,
+):
+    """End-of-epoch validation (reference run.py:364-403): flip-TTA prediction
+    plus the averaged p_losses of both orientations. Returns jitted
+    val_step(params, key, gt_3d_norm, input_2d, input_2d_flip) ->
+    (pred_norm, loss)."""
+    jl, jr = list(joints_left), list(joints_right)
+    eval_step = make_eval_step(diffusion, jl, jr, mesh=mesh)
+
+    def val_step(params, key, gt_3d_norm, input_2d, input_2d_flip):
+        key_pred, key_l1, key_l2 = jax.random.split(key, 3)
+        pred = eval_step(params, key_pred, input_2d, input_2d_flip)
+        gt_flip = flip_pose_jnp(gt_3d_norm, jl, jr)
+        loss = 0.5 * (
+            jnp.mean(diffusion.p_losses(params, key_l1, gt_3d_norm, input_2d))
+            + jnp.mean(diffusion.p_losses(params, key_l2, gt_flip, input_2d_flip))
+        )
+        return pred, loss
+
+    return jax.jit(val_step)

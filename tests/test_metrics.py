@@ -1,0 +1,122 @@
+"""Metric tests vs torch/numpy reference formulas (reference: common/loss.py)."""
+import numpy as np
+import pytest
+
+from diff3dhpe_tpu.metrics import (
+    mpjpe,
+    n_mpjpe,
+    p_mpjpe,
+    mean_velocity_error,
+    mean_velocity_error_train,
+    pck,
+    auc,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def test_mpjpe_zero_for_identical(rng):
+    x = rng.standard_normal((8, 17, 3))
+    assert mpjpe(x, x) == 0.0
+
+
+def test_mpjpe_matches_torch(rng):
+    a = rng.standard_normal((4, 2, 17, 3)).astype(np.float32)
+    b = rng.standard_normal((4, 2, 17, 3)).astype(np.float32)
+    ours = mpjpe(a, b)
+    theirs = torch.mean(
+        torch.norm(torch.from_numpy(a) - torch.from_numpy(b), dim=3)
+    ).item()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_mpjpe_known_value():
+    a = np.zeros((1, 1, 3))
+    b = np.array([[[3.0, 4.0, 0.0]]])
+    assert mpjpe(a, b) == 5.0
+
+
+def test_n_mpjpe_scale_invariance(rng):
+    target = rng.standard_normal((2, 1, 17, 3))
+    pred = target * 3.7  # pure scale error is fully recovered by protocol #3
+    np.testing.assert_allclose(n_mpjpe(pred, target), 0.0, atol=1e-12)
+
+
+def test_n_mpjpe_matches_torch_impl(rng):
+    pred = rng.standard_normal((3, 2, 17, 3)).astype(np.float32)
+    target = rng.standard_normal((3, 2, 17, 3)).astype(np.float32)
+    tp, tt = torch.from_numpy(pred), torch.from_numpy(target)
+    norm_predicted = torch.mean(torch.sum(tp ** 2, dim=3, keepdim=True), dim=2, keepdim=True)
+    norm_target = torch.mean(torch.sum(tt * tp, dim=3, keepdim=True), dim=2, keepdim=True)
+    scale = norm_target / norm_predicted
+    theirs = torch.mean(torch.norm(scale * tp - tt, dim=3)).item()
+    np.testing.assert_allclose(n_mpjpe(pred, target), theirs, rtol=1e-5)
+
+
+def test_p_mpjpe_invariant_to_rigid_transform(rng):
+    target = rng.standard_normal((5, 17, 3))
+    # Random rotation via QR.
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    pred = 1.3 * target @ q.T + np.array([0.1, -2.0, 0.5])
+    assert p_mpjpe(pred, target) < 1e-9
+
+
+def test_p_mpjpe_leq_mpjpe(rng):
+    pred = rng.standard_normal((5, 17, 3))
+    target = rng.standard_normal((5, 17, 3))
+    assert p_mpjpe(pred, target) <= mpjpe(pred, target) + 1e-9
+
+
+def test_velocity_error(rng):
+    pred = rng.standard_normal((6, 17, 3))
+    target = rng.standard_normal((6, 17, 3))
+    expected = np.mean(
+        np.linalg.norm(np.diff(pred, axis=0) - np.diff(target, axis=0), axis=-1)
+    )
+    np.testing.assert_allclose(mean_velocity_error(pred, target), expected)
+    # constant offset has zero velocity error
+    np.testing.assert_allclose(mean_velocity_error(target + 1.0, target), 0.0, atol=1e-12)
+
+
+def test_velocity_error_train(rng):
+    pred = rng.standard_normal((2, 6, 17, 3))
+    target = rng.standard_normal((2, 6, 17, 3))
+    out = mean_velocity_error_train(pred, target, axis=1)
+    expected = np.mean(
+        np.linalg.norm(np.diff(pred, axis=1) - np.diff(target, axis=1), axis=-1)
+    )
+    np.testing.assert_allclose(out, expected)
+
+
+def test_pck_auc():
+    target = np.zeros((4, 17, 3))
+    pred = np.zeros((4, 17, 3))
+    assert pck(pred, target) == 100.0
+    assert auc(pred, target) == pytest.approx(100.0)
+
+    pred2 = pred.copy()
+    pred2[..., 0] = 200.0  # all joints 200mm off -> 0% PCK@150
+    assert pck(pred2, target) == 0.0
+    assert auc(pred2, target) == 0.0
+
+    pred3 = pred.copy()
+    pred3[:2, ..., 0] = 200.0  # half the poses wrong
+    assert pck(pred3, target) == 50.0
+
+    # 100mm error: inside PCK@150 but fails thresholds < 100 -> AUC picks it up.
+    pred4 = pred.copy()
+    pred4[..., 0] = 100.0
+    assert pck(pred4, target) == 100.0
+    expected_auc = 100.0 * np.mean(np.arange(0, 151, 5) >= 100.0)
+    assert auc(pred4, target) == pytest.approx(expected_auc)
+
+
+def test_pck_valid_mask():
+    target = np.zeros((4, 17, 3))
+    pred = np.zeros((4, 17, 3))
+    pred[0, :, 0] = 500.0
+    mask = np.array([False, True, True, True])
+    assert pck(pred, target, valid_mask=mask) == 100.0
+    assert pck(pred, target) == 75.0
