@@ -1,0 +1,181 @@
+"""Benchmark: pose sequences/sec/chip on the reference's eval hot path.
+
+Protocol (matches the reference evaluation, run.py:557-593): H3.6M GT 243f
+flagship config (MixSTE s2s, embed 512, depth 8), DDIM-9 reverse diffusion,
+flip test-time augmentation (doubled batch through one fused sampling scan),
+f32 params. Reported value = pose *sequences* (243 frames each) per second
+per chip; each sequence costs 2 x 9 = 18 denoiser forwards.
+
+vs_baseline: ratio against the reference PyTorch implementation executed on
+this host via its own code path (torch has no TPU backend; this image has no
+GPU, so the baseline runs on host CPU — measured once, cached in
+bench_baseline.json). The published repo has no throughput numbers to
+compare against (BASELINE.md), so a measured baseline is the only option.
+
+Usage: python bench.py  (runs on whatever backend jax selects; on this image
+that is the real TPU chip). One JSON line on stdout.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+DDIM_STEPS = 9
+FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def measure_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from diff3dhpe_tpu.diffusion import GaussianDiffusion
+    from diff3dhpe_tpu.engine import make_denoise_fn
+    from diff3dhpe_tpu.engine.steps import make_eval_step
+    from diff3dhpe_tpu.models import MixSTEDenoiser
+
+    model = MixSTEDenoiser(
+        num_frame=FRAMES, num_joints=JOINTS, in_chans=2, embed_dim=EMBED,
+        depth=DEPTH, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+        drop_path_rate=0.1, with_time_emb=True, mode="s2s",
+    )
+    diffusion = GaussianDiffusion.create(
+        make_denoise_fn(model), timesteps=1000, sampling_timesteps=DDIM_STEPS,
+        clip_denoised=True, beta_schedule="cosine", mode="s2s",
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, FRAMES, JOINTS, 5)), jnp.zeros((1,)))["params"]
+    eval_step = make_eval_step(
+        diffusion, [4, 5, 6, 11, 12, 13], [1, 2, 3, 14, 15, 16]
+    )
+    x2d = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, JOINTS, 2))
+    x2d_flip = jax.random.normal(jax.random.PRNGKey(2), (BATCH, FRAMES, JOINTS, 2))
+
+    # NOTE: on the remote-relay backend block_until_ready does not actually
+    # wait for device execution; a scalar reduce + host transfer is the only
+    # reliable sync, so we time with `float(sum(out))` (~33ms tunnel latency,
+    # negligible against seconds of compute).
+    sum_sync = jax.jit(lambda a: jnp.sum(a))
+
+    # Warm-up / compile both programs.
+    out = eval_step(params, key, x2d, x2d_flip)
+    float(sum_sync(out))
+
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    t0 = time.time()
+    for i in range(iters):
+        out = eval_step(params, jax.random.fold_in(key, i), x2d, x2d_flip)
+    assert float(sum_sync(out)) == float(sum_sync(out))  # forces the chain
+    dt = time.time() - t0
+
+    n_chips = jax.device_count()
+    seqs_per_sec = BATCH * iters / dt
+    return dict(
+        seqs_per_sec_per_chip=seqs_per_sec / n_chips,
+        frames_per_sec_per_chip=seqs_per_sec * FRAMES / n_chips,
+        n_chips=n_chips,
+        backend=jax.default_backend(),
+        batch=BATCH,
+        iters=iters,
+        wall_s=dt,
+    )
+
+
+def measure_torch_baseline() -> float:
+    """Reference PyTorch implementation, eval protocol, on host CPU.
+
+    Returns seqs/sec. Times single denoiser forwards and scales by the
+    2 x DDIM_STEPS forwards one sequence costs (sampling overhead beyond the
+    model calls is negligible at this model size).
+    """
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_seqs_per_sec"]
+
+    import types
+
+    import torch
+
+    if "timm" not in sys.modules:  # reference imports timm only for DropPath
+        timm = types.ModuleType("timm")
+        models_mod = types.ModuleType("timm.models")
+        layers = types.ModuleType("timm.models.layers")
+
+        class DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        layers.DropPath = DropPath
+        models_mod.layers = layers
+        timm.models = models_mod
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models_mod
+        sys.modules["timm.models.layers"] = layers
+
+    sys.path.insert(0, "/root/reference")
+    from common.nets.model_conditional_diffusion_mixste_s2s_grand_linLift import (
+        ConditionalDiffusionMixSTES2SGRANDLinLift,
+    )
+
+    ref = ConditionalDiffusionMixSTES2SGRANDLinLift(
+        num_frame=FRAMES, num_joints=JOINTS, in_chans=2, embed_dim=EMBED,
+        depth=DEPTH, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+        drop_path_rate=0.1, with_time_emb=True,
+    )
+    ref.eval()
+    x = torch.randn(1, FRAMES, JOINTS, 5)
+    t = torch.zeros(1)
+    with torch.no_grad():
+        ref.forward_denoise(x, t)  # warm-up
+        t0 = time.time()
+        n = 2
+        for _ in range(n):
+            ref.forward_denoise(x, t)
+        per_call = (time.time() - t0) / n
+
+    seqs_per_sec = 1.0 / (per_call * 2 * DDIM_STEPS)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            dict(
+                torch_cpu_seqs_per_sec=seqs_per_sec,
+                per_forward_s=per_call,
+                note="reference torch impl, host CPU (no GPU in image), "
+                     "batch 1, 243f, cost model: 2*9 forwards/seq",
+            ),
+            f, indent=2,
+        )
+    return seqs_per_sec
+
+
+def main():
+    result = measure_tpu()
+    try:
+        baseline = measure_torch_baseline()
+        vs = result["seqs_per_sec_per_chip"] / baseline if baseline > 0 else 0.0
+    except Exception as e:  # baseline is best-effort; the TPU number stands alone
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline, vs = 0.0, 0.0
+
+    print(json.dumps(dict(
+        metric="pose_seqs_per_sec_per_chip_243f_ddim9_flipTTA",
+        value=round(result["seqs_per_sec_per_chip"], 3),
+        unit="seq/s/chip",
+        vs_baseline=round(vs, 2),
+        detail=dict(
+            frames_per_sec_per_chip=round(result["frames_per_sec_per_chip"], 1),
+            backend=result["backend"],
+            n_chips=result["n_chips"],
+            batch=result["batch"],
+            baseline_torch_cpu_seqs_per_sec=round(baseline, 4),
+        ),
+    )))
+
+
+if __name__ == "__main__":
+    main()

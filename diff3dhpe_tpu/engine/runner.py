@@ -1,0 +1,325 @@
+"""Training/evaluation runner: the reference's epoch loop and evaluation
+protocol (reference run.py:252-506 and evaluate:535-654) as a reusable
+component on top of the jitted steps.
+
+Responsibilities: model/diffusion/mesh assembly, the epoch loop (train ->
+flip-TTA validation -> logging -> periodic/best checkpointing -> early-stop /
+max-time / lr decay), and the final per-action evaluation with Protocols
+#1/#2/#3 + MPJVE and eval-throughput reporting.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff3dhpe_tpu.config import Config
+from diff3dhpe_tpu.diffusion import GaussianDiffusion
+from diff3dhpe_tpu.engine.steps import (
+    build_train_state,
+    make_denoise_fn,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    make_val_step,
+)
+from diff3dhpe_tpu.io.checkpoint import (
+    restore_checkpoint,
+    rng_state_from_json,
+    rng_state_to_json,
+    save_checkpoint,
+)
+from diff3dhpe_tpu.metrics import mean_velocity_error, mpjpe, n_mpjpe, p_mpjpe
+from diff3dhpe_tpu.models import HPE_model
+from diff3dhpe_tpu.parallel import make_mesh, shard_params
+
+
+class RunLogger:
+    """Timestamped plain-text run logs, mirroring the reference's
+    config_*/log_*/results_* files (reference run.py:136-138,209-214)."""
+
+    def __init__(self, checkpoint_dir: str, enabled: bool = True):
+        self.enabled = enabled
+        if not enabled:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        stamp = time.strftime("%Hh%Mm%Ss_on_%b_%d_%Y")
+        self.config_path = os.path.join(checkpoint_dir, f"config_{stamp}.txt")
+        self.log_path = os.path.join(checkpoint_dir, f"log_{stamp}.txt")
+        self.results_path = os.path.join(checkpoint_dir, f"results_{stamp}.txt")
+
+    def _write(self, path, text):
+        if self.enabled:
+            with open(path, "a") as f:
+                f.write(text)
+
+    def config(self, text):
+        self._write(self.config_path, text)
+
+    def log(self, text):
+        print(text, end="" if text.endswith("\n") else "\n")
+        self._write(self.log_path, text if text.endswith("\n") else text + "\n")
+
+    def result(self, text):
+        print(text, end="" if text.endswith("\n") else "\n")
+        self._write(self.results_path, text if text.endswith("\n") else text + "\n")
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: Config,
+        num_joints: int,
+        joints_left,
+        joints_right,
+        mesh=None,
+        logger: Optional[RunLogger] = None,
+    ):
+        self.cfg = cfg
+        self.num_joints = num_joints
+        self.joints_left = list(joints_left)
+        self.joints_right = list(joints_right)
+        jax.config.update("jax_default_matmul_precision", cfg.matmul_precision)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
+        self.logger = logger or RunLogger(cfg.checkpoint, enabled=False)
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        self.model = HPE_model(cfg.model)(
+            num_frame=cfg.number_of_frames,
+            num_joints=num_joints,
+            in_chans=2,
+            embed_dim=cfg.embed_dim,
+            depth=cfg.transformer_depth,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            qkv_bias=True,
+            drop_path_rate=cfg.drop_path_rate,
+            with_time_emb=cfg.with_time_emb,
+            dtype=dtype,
+        )
+        self.diffusion = GaussianDiffusion.create(
+            make_denoise_fn(self.model),
+            timesteps=cfg.timesteps,
+            sampling_timesteps=cfg.sampling_timesteps,
+            loss_type=cfg.loss_type,
+            clip_denoised=cfg.clip_denoised,
+            beta_schedule=cfg.beta_schedule,
+            ddim_sampling_eta=cfg.ddim_sampling_eta,
+            clip_loss=cfg.clip_loss,
+            mode="s2s" if cfg.out_all else "s2f",
+        )
+        self.eval_step = make_eval_step(
+            self.diffusion, self.joints_left, self.joints_right,
+            mesh=self.mesh, repeat_n=cfg.repeat_n,
+        )
+        self.val_step = make_val_step(
+            self.diffusion, self.joints_left, self.joints_right, mesh=self.mesh
+        )
+        self._optimizer = None
+        self.state = None
+
+    # ------------------------------------------------------------------
+    def init_params(self, seed: Optional[int] = None):
+        key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        f_in = self.cfg.number_of_frames
+        dummy_x = jnp.zeros((1, f_in, self.num_joints, 5))
+        params = self.model.init(key, dummy_x, jnp.zeros((1,)))["params"]
+        return shard_params(params, self.mesh)
+
+    def set_params(self, params):
+        params = shard_params(params, self.mesh)
+        if self.state is None:
+            opt = self._optimizer or make_optimizer(
+                self.cfg.learning_rate, self.cfg.lr_decay, 1, self.cfg.weight_decay
+            )
+            self._optimizer = opt
+            self.state = build_train_state(params, opt)
+        else:
+            self.state = self.state.replace(params=params)
+
+    def param_count(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+
+    # ------------------------------------------------------------------
+    def fit(self, train_ds, test_ds, resume: Optional[str] = None):
+        cfg = self.cfg
+        log = self.logger
+        steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+        self._optimizer = make_optimizer(
+            cfg.learning_rate, cfg.lr_decay, steps_per_epoch, cfg.weight_decay
+        )
+        if self.state is None:
+            self.state = build_train_state(self.init_params(), self._optimizer)
+        else:
+            self.state = build_train_state(self.state.params, self._optimizer)
+        train_step = make_train_step(self.diffusion, self._optimizer, mesh=self.mesh)
+
+        epoch = 0
+        best_epoch = 0
+        min_loss = np.inf
+        min_train_loss = np.inf
+        curr_step = 0
+        key = jax.random.PRNGKey(cfg.seed)
+
+        if resume:
+            self.state, meta = restore_checkpoint(resume, self.state)
+            epoch = meta["epoch"] + 1
+            best_epoch = meta.get("best_epoch", 0)
+            min_loss = meta.get("min_loss", np.inf)
+            min_train_loss = meta.get("min_train_loss", np.inf)
+            if meta.get("shuffle_rng_state"):
+                train_ds.shuffle_rng = rng_state_from_json(meta["shuffle_rng_state"])
+            key = jax.random.PRNGKey(cfg.seed + epoch)
+            log.log(f"Resumed from {resume} at epoch {epoch}\n")
+
+        losses_train: List[float] = []
+        losses_valid: List[float] = []
+        start_training_time = time.time()
+        best_path = os.path.join(cfg.checkpoint, "best_epoch")
+
+        while epoch < cfg.epochs:
+            start_time = time.time()
+            epoch_losses = []
+            for b in train_ds.batches(cfg.batch_size, shuffle=True, drop_last=True):
+                key, sub = jax.random.split(key)
+                self.state, loss = train_step(
+                    self.state, sub, jnp.asarray(b.gt_3d_norm), jnp.asarray(b.input_2d)
+                )
+                epoch_losses.append(loss)
+            train_loss = float(np.mean(jax.device_get(epoch_losses)))
+            losses_train.append(train_loss)
+
+            if not cfg.no_eval:
+                val_mpjpe, val_loss = self._validate(test_ds, key)
+                losses_valid.append(val_mpjpe)
+            else:
+                val_mpjpe, val_loss = np.nan, np.nan
+
+            elapsed = (time.time() - start_time) / 60
+            log.log(
+                f"Epoch: {epoch}, Time(mins): {elapsed:.2f}, "
+                f"Train/_pose_loss: {train_loss:.8f}, "
+                f"Valid/_mpjpe_mm: {val_mpjpe * 1000:.4f}, Valid/_pose_loss: {val_loss:.8f}\n"
+            )
+
+            meta = dict(
+                epoch=epoch,
+                best_epoch=best_epoch,
+                min_loss=float(min_loss),
+                min_train_loss=float(min_train_loss),
+                shuffle_rng_state=rng_state_to_json(train_ds.shuffle_rng),
+            )
+            if (epoch + 1) % cfg.checkpoint_frequency == 0:
+                path = os.path.join(cfg.checkpoint, f"epoch_{epoch}")
+                save_checkpoint(path, self.state, meta)
+                log.log(f"Saved checkpoint to {path}\n")
+
+            if not cfg.no_eval and val_mpjpe * 1000 < min_loss:
+                min_loss = val_mpjpe * 1000
+                min_train_loss = train_loss
+                best_epoch = epoch
+                meta.update(best_epoch=best_epoch, min_loss=float(min_loss),
+                            min_train_loss=float(min_train_loss))
+                save_checkpoint(best_path, self.state, meta)
+                log.log("save best checkpoint\n")
+                curr_step = 0
+            else:
+                curr_step += 1
+
+            if curr_step >= cfg.patience:
+                log.log("Early stop!\n")
+                break
+            if time.time() - start_training_time > cfg.max_time * 3600:
+                log.log(f"Max_time for training elapsed {cfg.max_time:.2f} hours, stopping\n")
+                break
+            epoch += 1
+
+        log.log(f"Training finished! Total time: {(time.time() - start_training_time) / 60}\n")
+        return dict(
+            losses_train=losses_train,
+            losses_valid=losses_valid,
+            best_epoch=best_epoch,
+            min_loss=min_loss,
+            best_path=best_path if os.path.isdir(best_path) else None,
+        )
+
+    def _validate(self, test_ds, key):
+        errs, losses, n = [], [], 0
+        for b in test_ds.batches(self.cfg.batch_size_eval):
+            key, sub = jax.random.split(key)
+            pred_norm, loss = self.val_step(
+                self.state.params, sub,
+                jnp.asarray(b.gt_3d_norm), jnp.asarray(b.input_2d),
+                jnp.asarray(b.input_2d_flip if b.input_2d_flip is not None else b.input_2d),
+            )
+            pred = test_ds.reverse_norm_3d_pose(np.asarray(pred_norm))
+            mask = (b.target_mask & b.row_mask[:, None]).reshape(-1)
+            pred_f = pred.reshape(-1, self.num_joints, 3)[mask]
+            gt_f = b.gt_3d.reshape(-1, self.num_joints, 3)[mask]
+            errs.append(float(mpjpe(pred_f[:, None], gt_f[:, None])) * mask.sum())
+            losses.append(float(loss) * mask.sum())
+            n += mask.sum()
+        return (np.sum(errs) / n, np.sum(losses) / n) if n else (np.nan, np.nan)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, test_ds, action: Optional[str] = None, key=None) -> Dict:
+        """Final evaluation protocol (reference evaluate:535-654): flip-TTA
+        DDIM sampling, unnormalise, mask, Protocol #1/#2/#3 + MPJVE, and
+        model-time throughput."""
+        cfg = self.cfg
+        log = self.logger
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        e1_sum = e2_sum = e3_sum = ev_sum = 0.0
+        n = 0
+        model_time = 0.0
+        predictions = []
+        for b in test_ds.batches(cfg.batch_size_eval):
+            key, sub = jax.random.split(key)
+            x2d = jnp.asarray(b.input_2d)
+            x2d_flip = jnp.asarray(
+                b.input_2d_flip if b.input_2d_flip is not None else b.input_2d
+            )
+            t0 = time.time()
+            pred_norm = self.eval_step(self.state.params, sub, x2d, x2d_flip)
+            # np.asarray is a full host transfer: a true device barrier on
+            # every backend (block_until_ready is unreliable on relay TPUs).
+            pred = test_ds.reverse_norm_3d_pose(np.asarray(pred_norm))
+            model_time += time.time() - t0
+
+            mask = (b.target_mask & b.row_mask[:, None]).reshape(-1)
+            pred_f = pred.reshape(-1, self.num_joints, 3)[mask]
+            gt_f = b.gt_3d.reshape(-1, self.num_joints, 3)[mask]
+            predictions.append(pred_f)
+            k = mask.sum()
+            n += k
+            e1_sum += float(mpjpe(pred_f[:, None], gt_f[:, None])) * k
+            e3_sum += float(n_mpjpe(pred_f[:, None], gt_f[:, None])) * k
+            e2_sum += float(p_mpjpe(pred_f, gt_f)) * k
+            ev_sum += float(mean_velocity_error(pred_f, gt_f)) * k
+
+        e1, e2, e3, ev = (
+            e1_sum / n * 1000,
+            e2_sum / n * 1000,
+            e3_sum / n * 1000,
+            ev_sum / n * 1000,
+        )
+        speed = n / model_time if model_time > 0 else float("inf")
+        header = "----------" if action is None else f"----{action}----"
+        log.result(
+            f"{header}\neval_frame: {n}\ninference_time: {model_time / 60}min\n"
+            f"inference_speed: {speed}frame/s\n"
+            f"Protocol #1 Error (MPJPE): {e1}mm\n"
+            f"Protocol #2 Error (P-MPJPE): {e2}mm\n"
+            f"Protocol #3 Error (N-MPJPE): {e3}mm\n"
+            f"Velocity Error (MPJVE): {ev}mm\n----------\n"
+        )
+        return dict(
+            e1=e1, e2=e2, e3=e3, ev=ev, n_frames=int(n),
+            model_time=model_time, frames_per_sec=speed,
+            predictions=np.concatenate(predictions) if predictions else None,
+        )
