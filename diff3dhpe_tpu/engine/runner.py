@@ -44,6 +44,7 @@ class RunLogger:
 
     def __init__(self, checkpoint_dir: str, enabled: bool = True):
         self.enabled = enabled
+        self.config_path = self.log_path = self.results_path = None
         if not enabled:
             return
         os.makedirs(checkpoint_dir, exist_ok=True)
