@@ -25,6 +25,10 @@ import time
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 DDIM_STEPS = 9
 FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
+# bf16 activations (f32 params + f32 schedule math) measured 1.5x over f32
+# on v5e; set BENCH_DTYPE=float32 for the full-precision parity path.
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
@@ -41,6 +45,8 @@ def measure_tpu() -> dict:
         num_frame=FRAMES, num_joints=JOINTS, in_chans=2, embed_dim=EMBED,
         depth=DEPTH, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
         drop_path_rate=0.1, with_time_emb=True, mode="s2s",
+        use_pallas=USE_PALLAS,
+        dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None,
     )
     diffusion = GaussianDiffusion.create(
         make_denoise_fn(model), timesteps=1000, sampling_timesteps=DDIM_STEPS,
@@ -172,6 +178,7 @@ def main():
             backend=result["backend"],
             n_chips=result["n_chips"],
             batch=result["batch"],
+            dtype=DTYPE,
             baseline_torch_cpu_seqs_per_sec=round(baseline, 4),
         ),
     )))

@@ -105,5 +105,6 @@ def args_to_overrides(args) -> dict:
         train_joint_drop=args.train_joint_drop,
         test_joint_drop=args.test_joint_drop,
         no_eval=args.no_eval or None,
+        export_training_curves=args.export_training_curves or None,
     )
     return mapping

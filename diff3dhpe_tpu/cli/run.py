@@ -82,6 +82,21 @@ def main(argv=None):
     runner.set_params(runner.init_params())
     n_params = runner.param_count()
     print(f"INFO: Trainable parameter count: {n_params}")
+
+    # Params | FLOPs printout (reference run.py:195-200, thop-equivalent).
+    from diff3dhpe_tpu.utils.profiling import clever_format, flops_of
+
+    import jax.numpy as jnp
+
+    flops = flops_of(
+        lambda p, x, t: runner.model.apply({"params": p}, x, t, deterministic=True),
+        runner.state.params,
+        jnp.zeros((1, cfg.number_of_frames, num_joints, 5)),
+        jnp.zeros((1,)),
+    )
+    print("Params | FLOPs/forward")
+    print("---|---")
+    print(f"{clever_format(n_params)} | {clever_format(flops)}")
     logger.config(
         f"Dataset: {cfg.dataset},\nModel: {cfg.model}\n\nparams={cfg}\n\n\n"
         f"Total Parameters: {n_params}\n\n"

@@ -37,6 +37,7 @@ class Config:
     patience: int = 200
     max_time: float = 200.0  # hours
     no_eval: bool = False
+    export_training_curves: bool = False
 
     # Windowing
     stride: int = 81

@@ -100,6 +100,7 @@ class Runner:
             qkv_bias=True,
             drop_path_rate=cfg.drop_path_rate,
             with_time_emb=cfg.with_time_emb,
+            use_pallas=cfg.use_pallas_attention,
             dtype=dtype,
         )
         self.diffusion = GaussianDiffusion.create(
@@ -240,6 +241,8 @@ class Runner:
             epoch += 1
 
         log.log(f"Training finished! Total time: {(time.time() - start_training_time) / 60}\n")
+        if cfg.export_training_curves and len(losses_train) > 3:
+            self._export_curves(losses_train, losses_valid)
         return dict(
             losses_train=losses_train,
             losses_valid=losses_valid,
@@ -247,6 +250,25 @@ class Runner:
             min_loss=min_loss,
             best_path=best_path if os.path.isdir(best_path) else None,
         )
+
+    def _export_curves(self, losses_train, losses_valid):
+        """Loss-curve PNG (reference run.py:513-531)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        epoch_x = np.arange(3, len(losses_train)) + 1
+        plt.plot(epoch_x, losses_train[3:], "--", color="C0", label="train loss")
+        if len(losses_valid) > 3:
+            plt.plot(epoch_x[: len(losses_valid) - 3], losses_valid[3:], color="C1",
+                     label="valid MPJPE (m)")
+        plt.legend()
+        plt.ylabel("loss / MPJPE (m)")
+        plt.xlabel("Epoch")
+        plt.savefig(os.path.join(self.cfg.checkpoint, "loss_3d.png"))
+        plt.close("all")
 
     def _validate(self, test_ds, key):
         errs, losses, n = [], [], 0

@@ -114,3 +114,24 @@ def convert_torch_state_dict(
         params["weighted_mean_bias"] = _np(ts["weighted_mean.bias"]).reshape(-1)
 
     return params
+
+
+def load_matching_params(target_params: dict, source_params: dict) -> tuple:
+    """Tolerant partial loading (reference: common/utils.py load_pretrained_
+    weights:51-81): copy every leaf whose path and shape match; keep the
+    target's value otherwise. Returns (merged_params, matched, discarded)."""
+    import jax
+
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(target_params)[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(source_params)[0])
+    matched, discarded = [], []
+    merged = dict(flat_t)
+    for path, leaf in flat_s.items():
+        if path in flat_t and tuple(np.shape(leaf)) == tuple(np.shape(flat_t[path])):
+            merged[path] = leaf
+            matched.append(path)
+        else:
+            discarded.append(path)
+    treedef = jax.tree_util.tree_structure(target_params)
+    ordered = [merged[p] for p, _ in jax.tree_util.tree_flatten_with_path(target_params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, ordered), matched, discarded

@@ -122,6 +122,38 @@ def mean_velocity_error_train(predicted, target, axis=0, reduce="mean", xp=np):
     raise ValueError(f"Unknown reduce method: {reduce}")
 
 
+def weighted_bonelen_loss(predict_3d_length, gt_3d_length, xp=np):
+    """Auxiliary bone-length penalty (reference: common/loss.py:96-98;
+    shipped but unused by the reference flows — kept for API parity)."""
+    return 0.001 * xp.mean((predict_3d_length - gt_3d_length) ** 2)
+
+
+def weighted_boneratio_loss(predict_3d_length, gt_3d_length, xp=np):
+    """Auxiliary bone-ratio penalty (reference: common/loss.py:100-102)."""
+    return 0.1 * xp.mean(((predict_3d_length - gt_3d_length) / gt_3d_length) ** 2)
+
+
+def bone_lengths(poses, parents, xp=np):
+    """Per-bone lengths [..., n_bones] from poses [..., J, 3] and a parent
+    table (root entries with parent -1 are skipped)."""
+    idx = [(j, p) for j, p in enumerate(parents) if p != -1]
+    child = xp.asarray([j for j, _ in idx])
+    par = xp.asarray([p for _, p in idx])
+    return _norm(poses[..., child, :] - poses[..., par, :], axis=-1, xp=xp)
+
+
+def l1_loss(predicted, target, reduce="mean", xp=np):
+    assert predicted.shape == target.shape
+    err = xp.abs(predicted - target)
+    return xp.mean(err) if reduce == "mean" else err
+
+
+def l2_loss(predicted, target, reduce="mean", xp=np):
+    assert predicted.shape == target.shape
+    err = (predicted - target) ** 2
+    return xp.mean(err) if reduce == "mean" else err
+
+
 def pck(predicted, target, threshold=150.0, valid_mask=None, xp=np):
     """3DHP PCK: fraction of joints within `threshold` (mm) of ground truth.
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from diff3dhpe_tpu.ops.attention import grand_attention
+from diff3dhpe_tpu.ops.attention import fused_grand_attention, grand_attention
 
 
 def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
@@ -120,6 +120,7 @@ class GrandAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -141,6 +142,8 @@ class GrandAttention(nn.Module):
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, v) - v
+        elif self.use_pallas:
+            out = fused_grand_attention(q, k, v, scale=scale)
         else:
             out = grand_attention(q, k, v, scale=scale)
 
@@ -182,6 +185,7 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     with_time_emb: bool = True
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -203,6 +207,7 @@ class Block(nn.Module):
             qk_scale=self.qk_scale,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )
@@ -252,6 +257,7 @@ class MixSTEDenoiser(nn.Module):
     with_time_emb: bool = True
     mode: str = "s2s"  # "s2s" | "s2f"
     out_dim: int = 3
+    use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -297,6 +303,7 @@ class MixSTEDenoiser(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path=float(dpr[i]),
                 with_time_emb=self.with_time_emb,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"ste_block_{i}",
             )(x, is_spatial=True, time_emb=t, deterministic=deterministic)
@@ -316,6 +323,7 @@ class MixSTEDenoiser(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 drop_path=float(dpr[i]),
                 with_time_emb=self.with_time_emb,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"tte_block_{i}",
             )(x, is_spatial=False, time_emb=t, deterministic=deterministic)

@@ -7,14 +7,17 @@ identity and subtracting it from the attention matrix (what the reference
 does, allocating B*H*N*N extra elements), we subtract V from the attention
 output. XLA fuses the subtraction into the PV matmul epilogue for free.
 
-Two implementations:
-- ``grand_attention``: pure-XLA einsum path. For this model's shapes
-  (N = 17 joints or N = 27..243 frames, head_dim = 64) XLA already tiles the
-  QK^T / PV matmuls onto the MXU and fuses the softmax; it is the default.
-- ``grand_attention_pallas``: fused Pallas kernel that keeps the [N, N]
-  attention matrix in VMEM (never touches HBM), used for the temporal
-  attention at longer sequence lengths. Falls back to XLA when shapes are
-  ineligible or not on TPU.
+Implementations:
+- ``grand_attention``: pure-XLA einsum path (the default; also the reference
+  for kernel tests).
+- ``packed_grand_attention``: Pallas kernel for many tiny-N groups (the
+  17-joint spatial attention). Packs floor(128/N) groups per MXU tile behind
+  a block-diagonal mask — one [119, 119] matmul replaces 7 fully-padded
+  17x17 matmuls — and processes many tiles per grid step so DMAs are large.
+- ``grand_attention_pallas_3d``: Pallas kernel for long-N groups (the
+  temporal attention, N = 27..243): the [N, N] attention matrix lives only
+  in VMEM, never in HBM; several groups per grid step.
+- ``fused_grand_attention``: dispatcher over the two by N.
 """
 from __future__ import annotations
 
@@ -40,54 +43,160 @@ def grand_attention(q, k, v, scale=None):
     return out - v
 
 
-def _grand_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    """One (batch*head) slab per grid step; full N x N attention in VMEM."""
-    q = q_ref[0]  # [N, D]
-    k = k_ref[0]
-    v = v_ref[0]
+def _attend_tile(qf, kf, vf, scale, mask=None):
+    """softmax(qf kf^T * scale [+ mask]) vf - vf for one [M, D] tile."""
     logits = jax.lax.dot_general(
-        q, k,
+        qf, kf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if mask is not None:
+        logits = logits + mask
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        p.astype(v.dtype), v,
+        probs.astype(vf.dtype), vf,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (out - v.astype(jnp.float32)).astype(o_ref.dtype)
+    return out - vf.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def grand_attention_pallas(q, k, v, scale=None):
-    """Fused GRAND attention Pallas kernel.
+def _packed_grand_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, tpg):
+    """TPG pre-packed tiles per grid step.
 
-    q, k, v: [B, N, D] (heads folded into B). Grid over B; each step loads one
-    [N, D] slab of q/k/v into VMEM, computes softmax(QK^T)V - V entirely
-    on-chip, and writes the [N, D] output. Correct for any N, D that fit in
-    VMEM (N <= ~1024, D <= 256 comfortably).
+    Refs are [TPG, M, D] where M = P*N <= 128 rows hold P whole N-token
+    groups (the caller does the packing reshape in XLA, so the kernel body
+    performs no relayouts). Each tile computes ONE [M, M]
+    block-diagonal-masked logits matmul + ONE [M, D] PV matmul instead of P
+    fully-padded NxN passes. This is the MixSTE *spatial* attention kernel:
+    N = 17 joints, P = 7 -> 119-row tiles.
+    """
+    m = q_ref.shape[1]
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // n
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // n
+    mask = jnp.where(row_g == col_g, 0.0, -1e30).astype(jnp.float32)
+
+    outs = [
+        _attend_tile(q_ref[t], k_ref[t], v_ref[t], scale, mask=mask)
+        for t in range(tpg)
+    ]
+    o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
+
+
+def packed_grand_attention(q, k, v, scale=None, interpret=False, tiles_per_step=16):
+    """GRAND attention for many small-N groups: q, k, v [G, N, D].
+
+    Packs floor(128 / N) groups per MXU tile (block-diagonal masked) and
+    ``tiles_per_step`` tiles per grid step; pads G up to a multiple of the
+    step size. The [G, N, D] -> [tiles, P*N, D] packing reshape happens in
+    XLA, outside the kernel.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert q.ndim == 3, "fold batch and heads into the leading axis"
-    b, n, d = q.shape
+    g, n, d = q.shape
     if scale is None:
         scale = d ** -0.5
+    p = max(1, 128 // n)
+    m = p * n
+    step = p * tiles_per_step
+    g2 = ((g + step - 1) // step) * step
+    if g2 != g:
+        pad = ((0, g2 - g), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    n_tiles = g2 // p
+    qp, kp, vp = (a.reshape(n_tiles, m, d) for a in (q, k, v))
 
-    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_grand_attn_kernel, scale=scale),
-        grid=(b,),
+    spec = pl.BlockSpec((tiles_per_step, m, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_grand_attn_kernel, scale=scale, n=n, tpg=tiles_per_step),
+        grid=(n_tiles // tiles_per_step,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * n * n * d,
-            bytes_accessed=4 * b * n * d * 4,
-            transcendentals=b * n * n,
+            flops=2 * 2 * g2 * n * n * d,
+            bytes_accessed=4 * g2 * n * d * 4,
+            transcendentals=g2 * n * n,
         ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out.reshape(g2, n, d)
+    return out[:g] if g2 != g else out
+
+
+def _fullseq_grand_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, gps):
+    """GPS groups of a full [N, D] sequence attention per grid step."""
+    outs = [
+        _attend_tile(q_ref[i], k_ref[i], v_ref[i], scale) for i in range(gps)
+    ]
+    o_ref[...] = jnp.stack(outs).astype(o_ref.dtype)
+
+
+def grand_attention_pallas_3d(q, k, v, scale=None, interpret=False, groups_per_step=8):
+    """Fused GRAND attention for long sequences: q, k, v [G, N, D].
+
+    The [N, N] attention matrix stays in VMEM (the XLA path materialises
+    G x N x N logits to HBM); ``groups_per_step`` groups per grid step keep
+    DMA transfers large.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, n, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    gps = min(groups_per_step, g)
+    g2 = ((g + gps - 1) // gps) * gps
+    if g2 != g:
+        pad = ((0, g2 - g), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    spec = pl.BlockSpec((gps, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fullseq_grand_attn_kernel, scale=scale, gps=gps),
+        grid=(g2 // gps,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((g2, n, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * g2 * n * n * d,
+            bytes_accessed=4 * g2 * n * d * 4,
+            transcendentals=g2 * n * n,
+        ),
+        interpret=interpret,
     )(q, k, v)
+    return out[:g] if g2 != g else out
+
+
+def fused_grand_attention(q, k, v, scale=None, interpret=None):
+    """Dispatcher: heads-folded fused GRAND attention.
+
+    q, k, v: [B, H, N, D] -> [B, H, N, D]. Small N goes to the packed
+    block-diagonal kernel; large N to the fused full-sequence kernel.
+    ``interpret=None`` auto-selects interpreter mode off-TPU so the same
+    model code runs in CPU tests.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, n, d = q.shape
+    if n <= 64:
+        # Measured on v5e (B=16, 243f, 8 heads): the packed kernel is bound by
+        # the XLA-side [G,17,64] -> [G/7,119,64] packing relayout and loses to
+        # the plain einsum path (9.0ms vs 7.4ms), so small-N dispatches to XLA.
+        # packed_grand_attention stays available for layouts that are already
+        # packed.
+        return grand_attention(q, k, v, scale=scale)
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, n, d)
+    vf = v.reshape(b * h, n, d)
+    out = grand_attention_pallas_3d(qf, kf, vf, scale=scale, interpret=interpret)
+    return out.reshape(b, h, n, d)
+
+
+def grand_attention_pallas(q, k, v, scale=None, interpret=False):
+    """Back-compat alias: fused GRAND attention over [G, N, D] groups."""
+    return grand_attention_pallas_3d(q, k, v, scale=scale, interpret=interpret)

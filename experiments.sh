@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Canonical train/eval command lines (TPU equivalents of the reference's
+# Experiments.sh recipes — same hyperparameters, module paths swapped,
+# GPU flags replaced by mesh shape).
+
+### Human3.6M, CPN, 81 frames
+#### Training
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 -lr 4e-4 --lr-decay 0.99 -b 64 -e 200 --max_time 61 --patience 999 --batch-size-eval 256 --timesteps 1000 --with_time_emb True --sampling_timesteps 5 --keypoints cpn_ft_h36m_dbb --beta_schedule cosine --ddim_sampling_eta 0 --embed_dim 512 --transformer_depth 8 --stride 81 --number-of-frames 81 --clip_loss True -c checkpoint/h36m/cpn/f81/ --config configs/h36m_cpn_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json
+#### Evaluation (DDIM-9)
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --batch-size-eval 256 --with_time_emb True --sampling_timesteps 9 --keypoints cpn_ft_h36m_dbb --ddim_sampling_eta 0 --stride 81 --number-of-frames 81 --clip_loss True -c checkpoint/h36m/cpn/f81/ --evaluate best_epoch --config configs/h36m_cpn_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json
+
+### Human3.6M, GT, 243 frames
+#### Training
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 -lr 4e-4 --lr-decay 0.99 -b 24 -e 200 --max_time 119.5 --patience 999 --batch-size-eval 256 --timesteps 1000 --with_time_emb True --sampling_timesteps 5 --keypoints gt --beta_schedule cosine --ddim_sampling_eta 0 --embed_dim 512 --transformer_depth 8 --stride 243 --number-of-frames 243 --clip_loss True -c checkpoint/h36m/gt/f243/ --config configs/h36m_gt_s2s_243f.json
+#### Evaluation (DDIM-6)
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --batch-size-eval 256 --with_time_emb True --sampling_timesteps 6 --keypoints gt --ddim_sampling_eta 0 --stride 243 --number-of-frames 243 --clip_loss True -c checkpoint/h36m/gt/f243/ --evaluate best_epoch --config configs/h36m_gt_s2s_243f.json
+
+### MPI-INF-3DHP, GT, 27 frames
+#### Training
+python -m diff3dhpe_tpu.cli.run_3dhp --mesh-shape data:8 -lr 4e-4 --lr-decay 0.99 -b 64 -e 200 --max_time 69 --patience 999 --batch-size-eval 512 --timesteps 1000 --with_time_emb False --sampling_timesteps 5 --keypoints gt --beta_schedule cosine --ddim_sampling_eta 0 --embed_dim 512 --transformer_depth 8 --stride 27 --number-of-frames 27 --clip_loss True -c checkpoint/3dhp/gt/f27/ --config configs/3dhp_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json
+#### Evaluation (DDIM-7; PCK/AUC computed in-framework, inference_data.mat also exported)
+python -m diff3dhpe_tpu.cli.run_3dhp --mesh-shape data:8 --batch-size-eval 512 --with_time_emb False --sampling_timesteps 7 --keypoints gt --ddim_sampling_eta 0 --stride 27 --number-of-frames 27 --clip_loss True -c checkpoint/3dhp/gt/f27/ --evaluate best_epoch --config configs/3dhp_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json
+
+### Visualisation
+python -m diff3dhpe_tpu.cli.viz --config configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json --evaluate best_epoch --viz-subject S11 --viz-action "Walking 1" --viz-camera 0 --viz-output viz_out

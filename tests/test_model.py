@@ -180,3 +180,24 @@ def test_param_count_matches_reference():
     )["params"]
     ours_count = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert ours_count == ref_count
+
+
+def test_bf16_activation_path_close_to_f32():
+    """bf16 compute path stays within bf16-expected error of f32 (the fast
+    eval configuration; schedule math and params remain f32)."""
+    import jax.numpy as jnp
+
+    kwargs = dict(num_frame=9, num_joints=17, in_chans=2, embed_dim=64, depth=2,
+                  num_heads=8, mlp_ratio=2.0, qkv_bias=True, with_time_emb=True,
+                  mode="s2s")
+    m32 = MixSTEDenoiser(**kwargs)
+    m16 = MixSTEDenoiser(dtype=jnp.bfloat16, **kwargs)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 9, 17, 5)), jnp.float32)
+    t = jnp.array([0.0, 400.0])
+    params = m32.init(jax.random.PRNGKey(0), x, t)["params"]
+    out32 = np.asarray(m32.apply({"params": params}, x, t))
+    out16 = np.asarray(m16.apply({"params": params}, x, t), dtype=np.float32)
+    # bf16 has ~3 decimal digits; depth-2 error accumulation ~1e-2 relative.
+    scale = np.abs(out32).max()
+    assert np.abs(out16 - out32).max() / scale < 5e-2
