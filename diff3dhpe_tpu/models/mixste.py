@@ -112,11 +112,7 @@ class Mlp(nn.Module):
 
 
 class GrandAttention(nn.Module):
-    """Multi-head self-attention with the GRAND (attn - I) V modification.
-
-    Legacy [B, N, C] interface kept for ops-level tests and external use;
-    the model itself uses FlatGrandAttention (flat token layout).
-    """
+    """Multi-head self-attention with the GRAND (attn - I) V modification."""
 
     dim: int
     num_heads: int = 8
@@ -140,6 +136,8 @@ class GrandAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         if self.attn_drop > 0.0 and not deterministic:
+            # Dropout on attention probabilities requires the materialised
+            # matrix; only taken on the (never-shipped) attn_drop > 0 path.
             logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=deterministic)
@@ -155,94 +153,27 @@ class GrandAttention(nn.Module):
         return out
 
 
-class FlatGrandAttention(nn.Module):
-    """GRAND attention over flat tokens [B, L, C]; every ``n`` consecutive
-    rows of the flattened [B*L, C] form one attention group.
-
-    TPU-native data path: the fused qkv GEMM output [R, 3C] feeds attention
-    directly (ops/mixste_attention.py) — no 5-D head-split transpose, no
-    [N, N] logits in HBM, no 17-row sublane padding anywhere.
-    Param names (qkv/proj) match GrandAttention so checkpoints are
-    layout-independent.
-    """
-
-    dim: int
-    n: int
-    num_heads: int = 8
-    qkv_bias: bool = False
-    qk_scale: Optional[float] = None
-    attn_drop: float = 0.0
-    proj_drop: float = 0.0
-    use_pallas: bool = False
-    dtype: Optional[jnp.dtype] = None
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        from diff3dhpe_tpu.ops.mixste_attention import attention_from_qkv
-
-        b, l, c = x.shape
-        head_dim = self.dim // self.num_heads
-        scale = self.qk_scale or head_dim ** -0.5
-
-        flat = x.reshape(b * l, c)
-        qkv = TorchDense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(flat)
-
-        if self.attn_drop > 0.0 and not deterministic:
-            # Attention-probability dropout needs the materialised matrix
-            # (never enabled in shipped configs).
-            g = (b * l) // self.n
-            qkv5 = qkv.reshape(g, self.n, 3, self.num_heads, head_dim)
-            q, k, v = (jnp.transpose(qkv5[:, :, i], (0, 2, 1, 3)) for i in range(3))
-            logits = jnp.einsum("ghnd,ghmd->ghnm", q, k) * scale
-            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-            attn = nn.Dropout(rate=self.attn_drop)(attn, deterministic=deterministic)
-            out = jnp.einsum("ghnm,ghmd->ghnd", attn, v) - v
-            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b * l, c)
-        else:
-            out = attention_from_qkv(
-                qkv, n=self.n, heads=self.num_heads, scale=scale,
-                impl="pallas" if self.use_pallas else "xla",
-            )
-
-        out = TorchDense(self.dim, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(rate=self.proj_drop)(out, deterministic=deterministic)
-        return out.reshape(b, l, c)
-
-
 class DropPath(nn.Module):
-    """Stochastic depth: drop a residual branch per attention group.
-
-    Matches the reference granularity (DropPath over the (b f) batch for
-    spatial blocks and the (b p) batch for temporal blocks): on flat tokens
-    [B, L, C] the mask is drawn per group of ``n`` rows.
-    """
+    """Stochastic depth: drop the residual branch per sample at train time."""
 
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, n: Optional[int] = None, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         if self.rate == 0.0 or deterministic:
             return x
         keep_prob = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        if n is None:
-            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-            mask = jax.random.bernoulli(rng, keep_prob, shape)
-            return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
-        b, l, c = x.shape
-        g = l // n
-        mask = jax.random.bernoulli(rng, keep_prob, (b, g, 1, 1))
-        xg = x.reshape(b, g, n, c)
-        xg = jnp.where(mask, xg / keep_prob, jnp.zeros_like(xg))
-        return xg.reshape(b, l, c)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep_prob, shape)
+        return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
 
 
 class Block(nn.Module):
     """Pre-norm transformer block with per-block diffusion-time injection.
 
-    Operates on flat tokens [B, L, C]; ``n`` is the attention group length
-    (J for spatial blocks, F for temporal blocks — the caller lays tokens
-    out so groups are consecutive). Reference: Block:90-135.
+    Operates on [B, F, J, C]; `is_spatial` selects whether attention mixes
+    joints (per frame) or frames (per joint). Reference: Block:90-135.
     """
 
     dim: int
@@ -258,14 +189,19 @@ class Block(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, n: int, time_emb=None, deterministic: bool = True):
+    def __call__(self, x, is_spatial: bool, time_emb=None, deterministic: bool = True):
+        b, f, p, c = x.shape
         if self.with_time_emb and time_emb is not None:
             t = TorchDense(self.dim, dtype=self.dtype, name="time_proj")(jax.nn.silu(time_emb))
-            x = x + t[:, None, :]
+            x = x + t[:, None, None, :]
 
-        attn = FlatGrandAttention(
+        if is_spatial:
+            tokens = x.reshape(b * f, p, c)
+        else:
+            tokens = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * p, f, c)
+
+        attn = GrandAttention(
             dim=self.dim,
-            n=n,
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale,
@@ -287,13 +223,16 @@ class Block(nn.Module):
         norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
 
-        x = x + drop_path(
-            attn(norm1(x), deterministic=deterministic), n=n, deterministic=deterministic
+        tokens = tokens + drop_path(
+            attn(norm1(tokens), deterministic=deterministic), deterministic=deterministic
         )
-        x = x + drop_path(
-            mlp(norm2(x), deterministic=deterministic), n=n, deterministic=deterministic
+        tokens = tokens + drop_path(
+            mlp(norm2(tokens), deterministic=deterministic), deterministic=deterministic
         )
-        return x
+
+        if is_spatial:
+            return tokens.reshape(b, f, p, c)
+        return jnp.transpose(tokens.reshape(b, p, f, c), (0, 2, 1, 3))
 
 
 class MixSTEDenoiser(nn.Module):
@@ -301,12 +240,6 @@ class MixSTEDenoiser(nn.Module):
 
     forward: x [B, F, J, in_chans + 3] (2D condition ++ noisy 3D), time [B]
     -> [B, F, J, 3] (mode="s2s") or [B, 1, J, 3] (mode="s2f").
-
-    TPU layout: activations stay flat [B, F*J, C] through the trunk (a
-    [B, F, 17, C] tensor pads 17 -> 24 sublanes on TPU, a 1.4x bandwidth tax
-    on every elementwise op). Spatial attention groups are the J consecutive
-    rows of each frame; temporal blocks transpose to joint-major [B, J*F, C]
-    (one fused reshape-transpose copy each way, as in any MixSTE layout).
     """
 
     num_frame: int = 9
@@ -332,9 +265,7 @@ class MixSTEDenoiser(nn.Module):
         assert x.ndim == 4, "expected [B, F, J, C]"
         b, f, p, _ = x.shape
         c = self.embed_dim
-        l = f * p
 
-        x = x.reshape(b, l, x.shape[-1])  # frame-major, joint-minor tokens
         x = TorchDense(c, dtype=self.dtype, name="fusion_layer")(x)
 
         if self.with_time_emb:
@@ -357,49 +288,47 @@ class MixSTEDenoiser(nn.Module):
         spatial_norm = nn.LayerNorm(epsilon=1e-6, name="spatial_norm")
         temporal_norm = nn.LayerNorm(epsilon=1e-6, name="temporal_norm")
 
-        def to_temporal(y):  # [B, F*J, C] -> [B, J*F, C]
-            return jnp.transpose(y.reshape(b, f, p, c), (0, 2, 1, 3)).reshape(b, l, c)
-
-        def to_spatial(y):  # [B, J*F, C] -> [B, F*J, C]
-            return jnp.transpose(y.reshape(b, p, f, c), (0, 2, 1, 3)).reshape(b, l, c)
-
-        block_kwargs = dict(
-            dim=c,
-            num_heads=self.num_heads,
-            mlp_ratio=self.mlp_ratio,
-            qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale,
-            drop=self.drop_rate,
-            attn_drop=self.attn_drop_rate,
-            with_time_emb=self.with_time_emb,
-            use_pallas=self.use_pallas,
-            dtype=self.dtype,
-        )
-
         for i in range(self.depth):
             if i == 0:
-                # Spatial positional embedding, tiled over frames.
-                x = x + jnp.tile(spatial_pos[0], (f, 1)).astype(x.dtype)
+                x = x + spatial_pos[None].astype(x.dtype)
                 x = pos_drop(x, deterministic=deterministic)
 
-            x = Block(drop_path=float(dpr[i]), name=f"ste_block_{i}", **block_kwargs)(
-                x, n=p, time_emb=t, deterministic=deterministic
-            )
+            x = Block(
+                dim=c,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=float(dpr[i]),
+                with_time_emb=self.with_time_emb,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name=f"ste_block_{i}",
+            )(x, is_spatial=True, time_emb=t, deterministic=deterministic)
             x = spatial_norm(x)
 
-            x = to_temporal(x)
             if i == 0:
-                # Temporal positional embedding, tiled over joints.
-                x = x + jnp.tile(temporal_pos[0], (p, 1)).astype(x.dtype)
+                x = x + temporal_pos[:, :, None, :].astype(x.dtype)
                 x = pos_drop(x, deterministic=deterministic)
 
-            x = Block(drop_path=float(dpr[i]), name=f"tte_block_{i}", **block_kwargs)(
-                x, n=f, time_emb=t, deterministic=deterministic
-            )
+            x = Block(
+                dim=c,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_path=float(dpr[i]),
+                with_time_emb=self.with_time_emb,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name=f"tte_block_{i}",
+            )(x, is_spatial=False, time_emb=t, deterministic=deterministic)
             x = temporal_norm(x)
-            x = to_spatial(x)
 
-        x = x.reshape(b, f, p, c)
         if self.mode == "s2f":
             # Learned weighted mean over frames (reference s2f weighted_mean
             # Conv1d(F -> 1, k=1) applied on [B, F, J*C]).

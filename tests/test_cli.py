@@ -1,0 +1,95 @@
+"""CLI entry-point smoke tests (in-process, synthetic data, tiny dims)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+ARGS_COMMON = [
+    "--synthetic",
+    "-frame", "9", "-s", "9",
+    "--embed_dim", "32", "--transformer_depth", "1",
+    "--timesteps", "20", "--sampling_timesteps", "3",
+    "-e", "1", "-b", "8", "--batch-size-eval", "16",
+]
+
+
+def test_run_h36m_train_eval(tmp_path):
+    from diff3dhpe_tpu.cli.run import main
+
+    errors = main(
+        ["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+         "-c", str(tmp_path), "-a", "Walking",
+         "-str", "S1", "-ste", "S9"] + ARGS_COMMON
+    )
+    assert errors["e1"] and np.isfinite(errors["e1"][0])
+    # run artifacts: config/log/results files + best checkpoint
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("config_") for f in files)
+    assert any(f.startswith("log_") for f in files)
+    assert any(f.startswith("results_") for f in files)
+    assert "best_epoch" in files
+
+
+def test_run_h36m_evaluate_checkpoint(tmp_path):
+    """--evaluate reloads the checkpoint produced by training."""
+    from diff3dhpe_tpu.cli.run import main
+
+    main(["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+          "-c", str(tmp_path), "-a", "Walking", "-str", "S1", "-ste", "S9"] + ARGS_COMMON)
+    errors = main(
+        ["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+         "-c", str(tmp_path), "-a", "Walking", "-str", "S1", "-ste", "S9",
+         "--evaluate", "best_epoch"] + ARGS_COMMON
+    )
+    assert np.isfinite(errors["e1"][0])
+
+
+def test_run_3dhp(tmp_path):
+    from diff3dhpe_tpu.cli.run_3dhp import main
+
+    out = main(
+        ["--config", "configs/3dhp_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+         "-c", str(tmp_path), "-str", "S1", "-ste", "TS1,TS2",
+         "--with_time_emb", "False"] + ARGS_COMMON
+    )
+    assert 0.0 <= out["pck"] <= 100.0
+    assert 0.0 <= out["auc"] <= 100.0
+    assert os.path.isfile(os.path.join(tmp_path, "inference_data.mat"))
+    # MATLAB-layout export: [3, 17, N] per sequence
+    import scipy.io as scio
+
+    mat = scio.loadmat(os.path.join(tmp_path, "inference_data.mat"))
+    assert mat["TS1"].shape[0] == 3 and mat["TS1"].shape[1] == 17
+
+
+def test_viz_cli(tmp_path):
+    from diff3dhpe_tpu.cli.viz import main
+
+    out_dir = str(tmp_path / "viz")
+    main(["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+          "-str", "S1", "-ste", "S9",
+          "--viz-output", out_dir, "--viz-limit", "6", "--viz-chain-samples", "4",
+          "--synthetic", "-frame", "9", "-s", "9", "--embed_dim", "32",
+          "--transformer_depth", "1", "--timesteps", "20", "--sampling_timesteps", "3",
+          "--batch-size-eval", "16"])
+    produced = set(os.listdir(out_dir))
+    assert {"input_2d.gif", "reconstruction_3d.gif", "forward_diffusion.gif",
+            "reverse_diffusion.gif", "reverse_diffusion_steps.png",
+            "input_2d_frames.png"} <= produced
+
+
+def test_resume_roundtrip(tmp_path):
+    """Train 2 epochs, resume from the periodic checkpoint, keep training."""
+    from diff3dhpe_tpu.cli.run import main
+
+    args = (["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+             "-c", str(tmp_path), "-a", "Walking", "-str", "S1", "-ste", "S9",
+             "--checkpoint-frequency", "1"] + ARGS_COMMON)
+    main(args)
+    assert os.path.isdir(os.path.join(tmp_path, "epoch_0"))
+    # Continue for one more epoch from the periodic checkpoint.
+    resumed = [a for a in args]
+    resumed[resumed.index("-e") + 1] = "2"
+    main(resumed + ["--resume", "epoch_0"])
