@@ -208,18 +208,20 @@ class GaussianDiffusion:
         return x_start
 
     def ddim_sample_loop(self, params, key, x_cond, target_shape,
-                         collect_chain: bool = False):
+                         collect_chain: bool = False, x_init=None):
         """DDIM reverse diffusion as one lax.scan (reference :263-300).
 
         x_cond: [B, F, J, Cin] conditioning; target_shape: output shape
         (B, F_out, J, 3). Returns the clean pose estimate; with
         ``collect_chain`` also the per-step states and x0 estimates (for the
-        visualisation path, reference :304-347).
+        visualisation path, reference :304-347). ``x_init`` overrides the
+        x_T ~ N(0, I) draw (parity testing / reproducing external runs).
         """
         tables = self._ddim_step_tables()
         s = self.sampling_timesteps
         key_init, key_steps = jax.random.split(key)
-        x_init = jax.random.normal(key_init, target_shape, jnp.float32)
+        if x_init is None:
+            x_init = jax.random.normal(key_init, target_shape, jnp.float32)
         step_keys = jax.random.split(key_steps, s)
 
         def body(x, step):

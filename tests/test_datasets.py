@@ -1,0 +1,123 @@
+"""Dataset-class tests: HumanEva/Custom construction from synthetic npz,
+seq2frame (out_all=False) pipeline, 3DHP wrapper, corruptions."""
+import numpy as np
+import pytest
+
+from diff3dhpe_tpu.config import Config
+from diff3dhpe_tpu.data import PoseDataset, make_synthetic_h36m_like
+from diff3dhpe_tpu.data.dataset import PoseDataset3DHP
+from diff3dhpe_tpu.data.synthetic import make_synthetic_3dhp
+
+
+def test_humaneva_dataset(tmp_path):
+    from diff3dhpe_tpu.data.humaneva import HumanEvaDataset
+
+    rng = np.random.default_rng(0)
+    positions = {
+        "Train/S1": {"Walking 1": rng.standard_normal((50, 15, 3)).astype("float32")},
+    }
+    path = tmp_path / "data_3d_humaneva15.npz"
+    np.savez_compressed(path, positions_3d=positions)
+    ds = HumanEvaDataset(str(path))
+    assert ds.skeleton().num_joints() == 15
+    # the scale extrema the reference forgets are computed here
+    assert np.isfinite(ds._pos_3d_min) and np.isfinite(ds._pos_3d_max)
+    assert ds._pos_3d_max > ds._pos_3d_min
+
+
+def test_custom_dataset(tmp_path):
+    from diff3dhpe_tpu.data.custom import CustomDataset
+
+    rng = np.random.default_rng(0)
+    metadata = {
+        "layout_name": "coco",
+        "num_joints": 17,
+        "keypoints_symmetry": [[1, 3, 5], [2, 4, 6]],
+        "video_metadata": {"vid.mp4": {"w": 1920, "h": 1080}},
+    }
+    path = tmp_path / "data_2d_custom_myvideo.npz"
+    np.savez_compressed(
+        path,
+        positions_2d={"vid.mp4": {"custom": [rng.standard_normal((40, 17, 2)).astype("float32")]}},
+        metadata=metadata,
+    )
+    ds = CustomDataset(str(path))
+    cams = ds.cameras()["vid.mp4"]
+    assert cams[0]["res_w"] == 1920 and cams[0]["res_h"] == 1080
+    assert ds._pos_3d_min == -1.0 and ds._pos_3d_max == 1.0
+
+
+def test_seq2frame_pipeline():
+    """out_all=False: center-frame target with padded 2D context."""
+    cfg = Config(
+        stride=1, number_of_frames=9, out_all=False,
+        subjects_train="S1", subjects_test="S9",
+        batch_size=8, test_time_augmentation=True,
+    )
+    dataset, kp = make_synthetic_h36m_like(subjects=("S1", "S9"), n_frames=30, seed=0)
+    ds = PoseDataset(cfg, dataset, "data", "test", keypoints_data=kp)
+    item = ds.get_item(0)
+    assert item["input_2d"].shape == (9, 17, 2)  # 1 + 2*pad context
+    assert item["gt_3d"].shape == (1, 17, 3)  # single target frame
+    assert item["target_mask"].shape == (1,)
+    b = next(ds.batches(8))
+    assert b.gt_3d.shape == (8, 1, 17, 3)
+    assert b.input_2d.shape == (8, 9, 17, 2)
+
+
+def test_corruptions_applied():
+    cfg = Config(stride=9, number_of_frames=9, subjects_train="S1", subjects_test="S9")
+    dataset, kp = make_synthetic_h36m_like(subjects=("S1", "S9"), n_frames=30, seed=0)
+    clean = PoseDataset(cfg, dataset, "data", "test", keypoints_data=kp)
+    noisy = PoseDataset(cfg, dataset, "data", "test", noise_std=0.1, keypoints_data=kp)
+    dropped = PoseDataset(cfg, dataset, "data", "test", joint_drop_rate=0.5, keypoints_data=kp)
+    a = clean.get_item(0)["input_2d"]
+    b = noisy.get_item(0)["input_2d"]
+    c = dropped.get_item(0)["input_2d"]
+    assert not np.allclose(a, b)
+    # joint drop zeroes whole joints
+    zeroed = np.all(c == 0, axis=-1)
+    assert zeroed.any() and not zeroed.all()
+
+
+def test_3dhp_valid_frame_mask_flows_to_batches():
+    cfg = Config(
+        stride=9, number_of_frames=9, subjects_train="S1",
+        subjects_test="TS1,TS2", dataset="3dhp",
+    )
+    data = make_synthetic_3dhp(["S1"], ["TS1", "TS2"], n_frames=40, seed=0)
+    ds = PoseDataset3DHP(cfg, data._test, data._pos_3d_min, data._pos_3d_max, split="test")
+    total_valid = sum(v.sum() for v in data._test.valid_frame.values())
+    masked = 0
+    for b in ds.batches(16):
+        masked += (b.target_mask & b.row_mask[:, None]).sum()
+    # every *valid* frame is evaluated exactly once
+    assert masked == total_valid
+
+
+def test_multi_hypothesis_eval_step():
+    import jax
+    import jax.numpy as jnp
+
+    from diff3dhpe_tpu.diffusion import GaussianDiffusion
+    from diff3dhpe_tpu.engine import make_denoise_fn, make_eval_step
+    from diff3dhpe_tpu.models import MixSTEDenoiser
+
+    model = MixSTEDenoiser(num_frame=9, num_joints=17, in_chans=2, embed_dim=32,
+                           depth=1, num_heads=4, qkv_bias=True, mode="s2s")
+    diff = GaussianDiffusion.create(make_denoise_fn(model), timesteps=20,
+                                    sampling_timesteps=3, beta_schedule="cosine")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, 17, 5)), jnp.zeros((1,)))["params"]
+    jl, jr = [4, 5, 6, 11, 12, 13], [1, 2, 3, 14, 15, 16]
+    x2d = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 17, 2))
+    single = make_eval_step(diff, jl, jr, repeat_n=1)(params, jax.random.PRNGKey(2), x2d, x2d)
+    multi = make_eval_step(diff, jl, jr, repeat_n=4)(params, jax.random.PRNGKey(2), x2d, x2d)
+    assert single.shape == multi.shape == (2, 9, 17, 3)
+    assert not np.allclose(np.asarray(single), np.asarray(multi))
+    # hypothesis averaging reduces sampling variance: multi should be closer
+    # to a second independent multi-run than two single runs are
+    single2 = make_eval_step(diff, jl, jr, repeat_n=1)(params, jax.random.PRNGKey(3), x2d, x2d)
+    multi2 = make_eval_step(diff, jl, jr, repeat_n=4)(params, jax.random.PRNGKey(3), x2d, x2d)
+    var_single = float(np.mean((np.asarray(single) - np.asarray(single2)) ** 2))
+    var_multi = float(np.mean((np.asarray(multi) - np.asarray(multi2)) ** 2))
+    assert var_multi < var_single
