@@ -79,6 +79,7 @@ class Config:
     matmul_precision: str = "highest"  # "highest" = f32 parity; "default" = bf16 MXU
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     use_pallas_attention: bool = False
+    remat: bool = False  # rematerialise forward in backprop (long-seq training)
 
     # Checkpointing / eval
     resume: str = ""

@@ -104,7 +104,7 @@ class Runner:
             dtype=dtype,
         )
         self.diffusion = GaussianDiffusion.create(
-            make_denoise_fn(self.model),
+            make_denoise_fn(self.model, remat=cfg.remat),
             timesteps=cfg.timesteps,
             sampling_timesteps=cfg.sampling_timesteps,
             loss_type=cfg.loss_type,

@@ -31,15 +31,31 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
 
 
-def make_denoise_fn(model) -> Callable:
-    """Adapt a flax module to the engine's denoise_fn(params, x, t, key)."""
+def make_denoise_fn(model, remat: bool = False) -> Callable:
+    """Adapt a flax module to the engine's denoise_fn(params, x, t, key).
 
-    def denoise_fn(params, x, t, dropout_key=None):
-        if dropout_key is None:
-            return model.apply({"params": params}, x, t, deterministic=True)
+    ``remat=True`` rematerialises the forward during backprop
+    (jax.checkpoint): trades ~1 extra forward of FLOPs for not storing the
+    activations of all 2*depth transformer blocks — needed to fit the
+    243-frame training config on a single chip's HBM at larger batch.
+    """
+
+    def eval_fn(params, x, t):
+        return model.apply({"params": params}, x, t, deterministic=True)
+
+    def train_fn(params, x, t, dropout_key):
         return model.apply(
             {"params": params}, x, t, deterministic=False, rngs={"dropout": dropout_key}
         )
+
+    if remat:
+        train_fn = jax.checkpoint(train_fn)
+        eval_fn = jax.checkpoint(eval_fn)
+
+    def denoise_fn(params, x, t, dropout_key=None):
+        if dropout_key is None:
+            return eval_fn(params, x, t)
+        return train_fn(params, x, t, dropout_key)
 
     return denoise_fn
 

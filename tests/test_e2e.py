@@ -162,3 +162,33 @@ def test_config_loads_reference_json(tmp_path):
         dict(embed_dim=64, dataset=None, out_all="False"),
     )
     assert cfg2.embed_dim == 64 and cfg2.dataset == "h36m" and cfg2.out_all is False
+
+
+def test_remat_train_step_matches_no_remat(stack, tiny_cfg):
+    """jax.checkpoint rematerialisation must not change loss or gradients."""
+    from diff3dhpe_tpu.engine import make_denoise_fn
+
+    model, _ = stack
+    diff_plain = GaussianDiffusion.create(
+        make_denoise_fn(model, remat=False), timesteps=20, sampling_timesteps=3,
+        clip_denoised=True, beta_schedule="cosine", clip_loss=True, mode="s2s",
+    )
+    diff_remat = GaussianDiffusion.create(
+        make_denoise_fn(model, remat=True), timesteps=20, sampling_timesteps=3,
+        clip_denoised=True, beta_schedule="cosine", clip_loss=True, mode="s2s",
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 9, 17, 5)), jnp.zeros((1,)))["params"]
+    gt = jax.random.normal(jax.random.PRNGKey(1), (4, 9, 17, 3))
+    x2d = jax.random.normal(jax.random.PRNGKey(2), (4, 9, 17, 2))
+
+    def lg(diff):
+        return jax.value_and_grad(
+            lambda p: diff.training_loss(p, key, gt, x2d, dropout_key=jax.random.PRNGKey(3))
+        )(params)
+
+    l1, g1 = lg(diff_plain)
+    l2, g2 = lg(diff_remat)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
