@@ -92,6 +92,43 @@ def p_mpjpe(predicted, target):
     return np.mean(np.linalg.norm(predicted_aligned - target, axis=len(target.shape) - 1))
 
 
+def p_mpjpe_device(predicted, target):
+    """Protocol #2 on device (jax.numpy batched SVD).
+
+    Same algorithm as :func:`p_mpjpe` (the reference keeps this on host
+    numpy, common/loss.py:43-82); jnp SVD lets large evaluations keep the
+    metric on-chip. predicted/target: [N, J, 3].
+    """
+    import jax.numpy as jnp
+
+    assert predicted.shape == target.shape
+    muX = jnp.mean(target, axis=1, keepdims=True)
+    muY = jnp.mean(predicted, axis=1, keepdims=True)
+    X0 = target - muX
+    Y0 = predicted - muY
+    normX = jnp.sqrt(jnp.sum(X0 ** 2, axis=(1, 2), keepdims=True))
+    normY = jnp.sqrt(jnp.sum(Y0 ** 2, axis=(1, 2), keepdims=True))
+    X0 = X0 / normX
+    Y0 = Y0 / normY
+
+    H = jnp.matmul(jnp.swapaxes(X0, 1, 2), Y0)
+    U, s, Vt = jnp.linalg.svd(H)
+    V = jnp.swapaxes(Vt, 1, 2)
+    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2))
+    sign_detR = jnp.sign(jnp.linalg.det(R))[:, None]
+    V = V.at[:, :, -1].multiply(sign_detR)
+    s = s.at[:, -1].multiply(sign_detR[:, 0])
+    R = jnp.matmul(V, jnp.swapaxes(U, 1, 2))
+
+    tr = jnp.sum(s, axis=1, keepdims=True)[:, :, None]
+    a = tr * normX / normY
+    t = muX - a * jnp.matmul(muY, R)
+    predicted_aligned = a * jnp.matmul(predicted, R) + t
+    return jnp.mean(
+        jnp.sqrt(jnp.sum((predicted_aligned - target) ** 2, axis=-1))
+    )
+
+
 def mean_velocity_error(predicted, target):
     """MPJVE: mean Euclidean error of the first temporal derivative. Host NumPy."""
     assert predicted.shape == target.shape

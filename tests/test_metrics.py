@@ -120,3 +120,15 @@ def test_pck_valid_mask():
     mask = np.array([False, True, True, True])
     assert pck(pred, target, valid_mask=mask) == 100.0
     assert pck(pred, target) == 75.0
+
+
+def test_p_mpjpe_device_matches_host(rng):
+    import jax
+
+    from diff3dhpe_tpu.metrics.metrics import p_mpjpe_device
+
+    pred = rng.standard_normal((6, 17, 3)).astype(np.float32)
+    target = rng.standard_normal((6, 17, 3)).astype(np.float32)
+    host = p_mpjpe(pred, target)
+    dev = float(jax.jit(p_mpjpe_device)(pred, target))
+    np.testing.assert_allclose(dev, host, rtol=1e-4)
