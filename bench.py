@@ -29,6 +29,8 @@ FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
 # on v5e; set BENCH_DTYPE=float32 for the full-precision parity path.
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+# Fused-kernel inference forward (models/fast_eval.py); 1.27x on v5e.
+FAST = os.environ.get("BENCH_FAST", "1") == "1"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
@@ -48,8 +50,18 @@ def measure_tpu() -> dict:
         use_pallas=USE_PALLAS,
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None,
     )
+    if FAST:
+        from diff3dhpe_tpu.engine.steps import make_fast_denoise_fn
+
+        denoise_fn = make_fast_denoise_fn(
+            num_frame=FRAMES, num_joints=JOINTS, depth=DEPTH, num_heads=8,
+            with_time_emb=True, mode="s2s",
+            dtype=jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32,
+        )
+    else:
+        denoise_fn = make_denoise_fn(model)
     diffusion = GaussianDiffusion.create(
-        make_denoise_fn(model), timesteps=1000, sampling_timesteps=DDIM_STEPS,
+        denoise_fn, timesteps=1000, sampling_timesteps=DDIM_STEPS,
         clip_denoised=True, beta_schedule="cosine", mode="s2s",
     )
     key = jax.random.PRNGKey(0)

@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-root", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="run on generated synthetic data (smoke/demo)")
+    parser.add_argument("--fast-eval", action="store_true",
+                        help="fused-kernel inference path for evaluation")
     return parser
 
 
@@ -106,5 +108,6 @@ def args_to_overrides(args) -> dict:
         test_joint_drop=args.test_joint_drop,
         no_eval=args.no_eval or None,
         export_training_curves=args.export_training_curves or None,
+        fast_eval=args.fast_eval or None,
     )
     return mapping

@@ -70,6 +70,12 @@ class RunLogger:
         self._write(self.results_path, text if text.endswith("\n") else text + "\n")
 
 
+def dataclasses_replace_denoise(diffusion, denoise_fn):
+    import dataclasses as _dc
+
+    return _dc.replace(diffusion, denoise_fn=denoise_fn)
+
+
 class Runner:
     def __init__(
         self,
@@ -114,8 +120,24 @@ class Runner:
             clip_loss=cfg.clip_loss,
             mode="s2s" if cfg.out_all else "s2f",
         )
+        if cfg.fast_eval:
+            from diff3dhpe_tpu.engine.steps import make_fast_denoise_fn
+
+            fast_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            self.eval_diffusion = dataclasses_replace_denoise(
+                self.diffusion,
+                make_fast_denoise_fn(
+                    num_frame=cfg.number_of_frames, num_joints=num_joints,
+                    depth=cfg.transformer_depth, num_heads=cfg.num_heads,
+                    with_time_emb=cfg.with_time_emb,
+                    mode="s2s" if cfg.out_all else "s2f",
+                    dtype=fast_dtype,
+                ),
+            )
+        else:
+            self.eval_diffusion = self.diffusion
         self.eval_step = make_eval_step(
-            self.diffusion, self.joints_left, self.joints_right,
+            self.eval_diffusion, self.joints_left, self.joints_right,
             mesh=self.mesh, repeat_n=cfg.repeat_n,
         )
         self.val_step = make_val_step(

@@ -60,6 +60,34 @@ def make_denoise_fn(model, remat: bool = False) -> Callable:
     return denoise_fn
 
 
+def make_fast_denoise_fn(
+    num_frame: int,
+    num_joints: int,
+    depth: int,
+    num_heads: int = 8,
+    with_time_emb: bool = True,
+    mode: str = "s2s",
+    dtype=None,
+) -> Callable:
+    """Inference-optimised denoise_fn: the fused-kernel functional forward
+    (models/fast_eval.py) over the same param tree. Eval-only (no VJP)."""
+    import jax.numpy as jnp
+
+    from diff3dhpe_tpu.models.fast_eval import fast_forward_denoise
+
+    dtype = dtype or jnp.bfloat16
+
+    def denoise_fn(params, x, t, dropout_key=None):
+        assert dropout_key is None, "fast_eval path is inference-only"
+        return fast_forward_denoise(
+            params, x, t, num_frame=num_frame, num_joints=num_joints,
+            depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
+            mode=mode, dtype=dtype,
+        )
+
+    return denoise_fn
+
+
 def make_optimizer(
     learning_rate: float,
     lr_decay: float,

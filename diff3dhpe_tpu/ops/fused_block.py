@@ -1,0 +1,156 @@
+"""Fused attention sub-block kernel: LN -> qkv -> GRAND attention -> proj
+-> residual, entirely in VMEM.
+
+Motivation (PERF.md "In-graph cost attribution"): kernel-only swaps of the
+attention core lose to XLA because of layout round-trips; the win requires
+fusing the surrounding ops so tokens make ONE HBM round trip per sub-block.
+This kernel implements the eval path of Block's attention residual:
+
+    out = x + proj(grand_attn(LN1(x)))
+
+on flat rows [R, C] where every N consecutive rows form one attention
+group. Weights stay VMEM-resident across grid steps. Eval-only (no VJP);
+training uses the regular XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _layernorm_rows(x, scale, bias, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32
+    )
+
+
+def _fused_attn_block_kernel(
+    x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
+    *, n, heads, scale, tile_rows, tiles,
+):
+    c = x_ref.shape[-1]
+    d = c // heads
+    p = tile_rows // n
+
+    mask = None
+    if p > 1:
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 0) // n
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 1) // n
+        mask = jnp.where(row_g == col_g, 0.0, -1e30).astype(jnp.float32)
+
+    ln_s = ln_s_ref[...].reshape(c)
+    ln_b = ln_b_ref[...].reshape(c)
+    bqkv = bqkv_ref[...].reshape(3 * c)
+    bproj = bproj_ref[...].reshape(c)
+
+    for t in range(tiles):
+        rows = slice(t * tile_rows, (t + 1) * tile_rows)
+        xs = x_ref[rows, :]
+        xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
+        qkv = (
+            jax.lax.dot_general(
+                xn, wqkv_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bqkv.astype(jnp.float32)
+        ).astype(xs.dtype)
+
+        head_outs = []
+        for h in range(heads):
+            q = qkv[:, h * d:(h + 1) * d]
+            k = qkv[:, c + h * d: c + (h + 1) * d]
+            v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
+            logits = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                logits = logits + mask
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            probs = jnp.exp(logits)
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            av = jax.lax.dot_general(
+                probs.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            head_outs.append(av - v.astype(jnp.float32))
+        attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
+
+        proj = (
+            jax.lax.dot_general(
+                attn_out, wproj_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bproj.astype(jnp.float32)
+        )
+        o_ref[rows, :] = (xs.astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def fused_attention_block(
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
+    n: int, heads: int, scale=None, interpret=None, tiles_per_step: int = 8,
+):
+    """x: [R, C] flat tokens (groups of N consecutive rows); returns
+    x + proj(grand_attn(LN(x))) with everything fused in VMEM."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    r, c = x.shape
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+
+    if n <= 64:
+        p = max(1, 128 // n)
+    else:
+        p = 1
+    tile_rows = p * n
+    tiles = tiles_per_step
+    while (tile_rows * tiles) % 8:
+        tiles += 1
+    step_rows = tile_rows * tiles
+    r2 = ((r + step_rows - 1) // step_rows) * step_rows
+    x_p = jnp.pad(x, ((0, r2 - r), (0, 0))) if r2 != r else x
+
+    row_spec = pl.BlockSpec((step_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_attn_block_kernel, n=n, heads=heads, scale=scale,
+            tile_rows=tile_rows, tiles=tiles,
+        ),
+        grid=(r2 // step_rows,),
+        in_specs=[
+            row_spec,
+            full(1, c), full(1, c),          # LN scale/bias
+            full(c, 3 * c), full(1, 3 * c),  # qkv
+            full(c, c), full(1, c),          # proj
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((r2, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r2 * c * (3 * c + c) + 2 * 2 * r2 * n * c,
+            bytes_accessed=2 * r2 * c * x.dtype.itemsize,
+            transcendentals=r2 * n,
+        ),
+        interpret=interpret,
+    )(
+        x_p,
+        ln_scale.reshape(1, c), ln_bias.reshape(1, c),
+        w_qkv, b_qkv.reshape(1, 3 * c),
+        w_proj, b_proj.reshape(1, c),
+    )
+    return out[:r] if r2 != r else out

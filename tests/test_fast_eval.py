@@ -1,0 +1,51 @@
+"""fast_forward_denoise (fused-kernel functional eval path) vs the flax
+module with the same param tree."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff3dhpe_tpu.models import MixSTEDenoiser
+from diff3dhpe_tpu.models.fast_eval import fast_forward_denoise
+
+
+@pytest.mark.parametrize("mode,with_time_emb", [("s2s", True), ("s2s", False), ("s2f", True)])
+def test_fast_eval_matches_module(rng, mode, with_time_emb):
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=depth,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
+        with_time_emb=with_time_emb, mode=mode,
+    )
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+
+    expected = np.asarray(model.apply({"params": params}, x, t, deterministic=True))
+    out = np.asarray(
+        fast_forward_denoise(
+            params, x, t, num_frame=F, num_joints=J, depth=depth, num_heads=8,
+            with_time_emb=with_time_emb, mode=mode, dtype=jnp.float32,
+            interpret=True,
+        )
+    )
+    assert out.shape == expected.shape
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_fast_eval_bf16_close(rng):
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(num_frame=F, num_joints=J, in_chans=2, embed_dim=C,
+                           depth=depth, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+                           with_time_emb=True, mode="s2s")
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    f32 = np.asarray(model.apply({"params": params}, x, t, deterministic=True))
+    bf16 = np.asarray(
+        fast_forward_denoise(params, x, t, num_frame=F, num_joints=J, depth=depth,
+                             num_heads=8, dtype=jnp.bfloat16, interpret=True),
+        dtype=np.float32,
+    )
+    scale = np.abs(f32).max()
+    assert np.abs(bf16 - f32).max() / scale < 5e-2
