@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from diff3dhpe_tpu.models.mixste import sinusoidal_pos_emb
-from diff3dhpe_tpu.ops.fused_block import fused_attention_block
+from diff3dhpe_tpu.ops.fused_block import fused_transformer_block
 
 
 def _dense(params, x):
@@ -36,32 +36,17 @@ def _layernorm(params, x, eps):
     return out.astype(x.dtype)
 
 
-def _mlp_residual(block, x, dtype):
-    h = _layernorm(block["norm2"], x, 1e-6)
-    h = _dense(block["mlp"]["fc1"], h.astype(dtype))
-    h = jax.nn.gelu(h, approximate=False)
-    h = _dense(block["mlp"]["fc2"], h)
-    return x + h.astype(x.dtype)
-
-
 def _block(block, x_flat, n, heads, time_emb, dtype, interpret):
-    """One transformer block on flat tokens [B, L, C] (groups of n rows)."""
+    """One transformer block on flat tokens [B, L, C] (groups of n rows):
+    a single fused kernel for attention + MLP residuals."""
     b, l, c = x_flat.shape
     if time_emb is not None and "time_proj" in block:
         t = _dense(block["time_proj"], jax.nn.silu(time_emb).astype(dtype))
         x_flat = x_flat + t[:, None, :].astype(x_flat.dtype)
 
     rows = x_flat.reshape(b * l, c)
-    attn = block["attn"]
-    rows = fused_attention_block(
-        rows,
-        block["norm1"]["scale"], block["norm1"]["bias"],
-        attn["qkv"]["kernel"].astype(rows.dtype), attn["qkv"]["bias"],
-        attn["proj"]["kernel"].astype(rows.dtype), attn["proj"]["bias"],
-        n=n, heads=heads, interpret=interpret,
-    )
-    x_flat = rows.reshape(b, l, c)
-    return _mlp_residual(block, x_flat, dtype)
+    rows = fused_transformer_block(rows, block, n=n, heads=heads, interpret=interpret)
+    return rows.reshape(b, l, c)
 
 
 def fast_forward_denoise(

@@ -18,6 +18,28 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7) — Mosaic has
+    no erf/erfc lowering, and the model uses torch's EXACT GELU."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return sign * y
+
+
+def _gelu_exact(x):
+    """Exact (erf-based) GELU matching torch.nn.GELU's default."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf(xf * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
 
 
 def _layernorm_rows(x, scale, bias, eps=1e-6):
@@ -93,6 +115,144 @@ def _fused_attn_block_kernel(
             + bproj.astype(jnp.float32)
         )
         o_ref[rows, :] = (xs.astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+def _fused_full_block_kernel(
+    x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+    *, n, heads, scale, tile_rows, tiles,
+):
+    """Whole transformer block per tile: attention residual + MLP residual."""
+    c = x_ref.shape[-1]
+    d = c // heads
+    p = tile_rows // n
+
+    mask = None
+    if p > 1:
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 0) // n
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 1) // n
+        mask = jnp.where(row_g == col_g, 0.0, -1e30).astype(jnp.float32)
+
+    ln_s = ln_s_ref[...].reshape(c)
+    ln_b = ln_b_ref[...].reshape(c)
+    bqkv = bqkv_ref[...].reshape(3 * c)
+    bproj = bproj_ref[...].reshape(c)
+    ln2_s = ln2_s_ref[...].reshape(c)
+    ln2_b = ln2_b_ref[...].reshape(c)
+    hidden = w1_ref.shape[-1]
+    b1 = b1_ref[...].reshape(hidden)
+    b2 = b2_ref[...].reshape(c)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for t in range(tiles):
+        rows = slice(t * tile_rows, (t + 1) * tile_rows)
+        xs = x_ref[rows, :]
+        xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
+        qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
+
+        head_outs = []
+        for h in range(heads):
+            q = qkv[:, h * d:(h + 1) * d]
+            k = qkv[:, c + h * d: c + (h + 1) * d]
+            v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if mask is not None:
+                logits = logits + mask
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            probs = jnp.exp(logits)
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            av = dot(probs.astype(v.dtype), v)
+            head_outs.append(av - v.astype(jnp.float32))
+        attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
+
+        h1 = xs.astype(jnp.float32) + dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
+        h1 = h1.astype(xs.dtype)
+
+        hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(xs.dtype)
+        mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
+        mid = _gelu_exact(mid).astype(xs.dtype)
+        out = h1.astype(jnp.float32) + dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+        o_ref[rows, :] = out.astype(o_ref.dtype)
+
+
+def fused_transformer_block(
+    x, block_params: dict, n: int, heads: int, scale=None, interpret=None,
+    tiles_per_step: int = 8,
+):
+    """Whole transformer block (attention residual + MLP residual) fused.
+
+    x: [R, C] flat tokens (groups of N consecutive rows); ``block_params``
+    is one ste/tte block's param subtree (norm1/attn/norm2/mlp)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    r, c = x.shape
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+
+    p = max(1, 128 // n) if n <= 64 else 1
+    tile_rows = p * n
+    tiles = tiles_per_step
+    while (tile_rows * tiles) % 8:
+        tiles += 1
+    step_rows = tile_rows * tiles
+    r2 = ((r + step_rows - 1) // step_rows) * step_rows
+    x_p = jnp.pad(x, ((0, r2 - r), (0, 0))) if r2 != r else x
+
+    attn = block_params["attn"]
+    mlp = block_params["mlp"]
+    hidden = mlp["fc1"]["kernel"].shape[-1]
+
+    row_spec = pl.BlockSpec((step_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_full_block_kernel, n=n, heads=heads, scale=scale,
+            tile_rows=tile_rows, tiles=tiles,
+        ),
+        grid=(r2 // step_rows,),
+        in_specs=[
+            row_spec,
+            full(1, c), full(1, c),
+            full(c, 3 * c), full(1, 3 * c),
+            full(c, c), full(1, c),
+            full(1, c), full(1, c),
+            full(c, hidden), full(1, hidden),
+            full(hidden, c), full(1, c),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((r2, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r2 * c * (3 * c + c + 2 * hidden) + 2 * 2 * r2 * n * c,
+            bytes_accessed=2 * r2 * c * x.dtype.itemsize,
+            transcendentals=r2 * (n + hidden),
+        ),
+        interpret=interpret,
+    )(
+        x_p,
+        block_params["norm1"]["scale"].reshape(1, c),
+        block_params["norm1"]["bias"].reshape(1, c),
+        attn["qkv"]["kernel"].astype(x.dtype), attn["qkv"]["bias"].reshape(1, 3 * c),
+        attn["proj"]["kernel"].astype(x.dtype), attn["proj"]["bias"].reshape(1, c),
+        block_params["norm2"]["scale"].reshape(1, c),
+        block_params["norm2"]["bias"].reshape(1, c),
+        mlp["fc1"]["kernel"].astype(x.dtype), mlp["fc1"]["bias"].reshape(1, hidden),
+        mlp["fc2"]["kernel"].astype(x.dtype), mlp["fc2"]["bias"].reshape(1, c),
+    )
+    return out[:r] if r2 != r else out
 
 
 def fused_attention_block(
