@@ -36,16 +36,19 @@ def _layernorm(params, x, eps):
     return out.astype(x.dtype)
 
 
-def _block(block, x_flat, n, heads, time_emb, dtype, interpret):
+def _block(block, x_flat, n, heads, time_emb, dtype, interpret, out_ln=None):
     """One transformer block on flat tokens [B, L, C] (groups of n rows):
-    a single fused kernel for attention + MLP residuals."""
+    a single fused kernel for attention + MLP residuals, with the model's
+    inter-block LayerNorm fused into the epilogue."""
     b, l, c = x_flat.shape
     if time_emb is not None and "time_proj" in block:
         t = _dense(block["time_proj"], jax.nn.silu(time_emb).astype(dtype))
         x_flat = x_flat + t[:, None, :].astype(x_flat.dtype)
 
     rows = x_flat.reshape(b * l, c)
-    rows = fused_transformer_block(rows, block, n=n, heads=heads, interpret=interpret)
+    rows = fused_transformer_block(
+        rows, block, n=n, heads=heads, interpret=interpret, out_ln_params=out_ln
+    )
     return rows.reshape(b, l, c)
 
 
@@ -91,14 +94,14 @@ def fast_forward_denoise(
     for i in range(depth):
         if i == 0:
             x = x + jnp.tile(params["spatial_pos_embed"][0], (f, 1)).astype(x.dtype)
-        x = _block(params[f"ste_block_{i}"], x, p, num_heads, t, dtype, interpret)
-        x = _layernorm(params["spatial_norm"], x, 1e-6)
+        x = _block(params[f"ste_block_{i}"], x, p, num_heads, t, dtype, interpret,
+                   out_ln=params["spatial_norm"])
 
         x = to_temporal(x)
         if i == 0:
             x = x + jnp.tile(params["temporal_pos_embed"][0], (p, 1)).astype(x.dtype)
-        x = _block(params[f"tte_block_{i}"], x, f, num_heads, t, dtype, interpret)
-        x = _layernorm(params["temporal_norm"], x, 1e-6)
+        x = _block(params[f"tte_block_{i}"], x, f, num_heads, t, dtype, interpret,
+                   out_ln=params["temporal_norm"])
         x = to_spatial(x)
 
     x = x.reshape(b, f, p, c)

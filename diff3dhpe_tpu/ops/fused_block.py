@@ -119,10 +119,14 @@ def _fused_attn_block_kernel(
 
 def _fused_full_block_kernel(
     x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-    *, n, heads, scale, tile_rows, tiles,
+    ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    oln_s_ref, oln_b_ref, o_ref,
+    *, n, heads, scale, tile_rows, tiles, out_ln,
 ):
-    """Whole transformer block per tile: attention residual + MLP residual."""
+    """Whole transformer block per tile: attention residual + MLP residual,
+    optionally followed by the model's inter-block LayerNorm (the
+    Spatial_norm/Temporal_norm applied after every block, reference
+    ST_foward:236,245) fused into the output write."""
     c = x_ref.shape[-1]
     d = c // heads
     p = tile_rows // n
@@ -142,6 +146,9 @@ def _fused_full_block_kernel(
     hidden = w1_ref.shape[-1]
     b1 = b1_ref[...].reshape(hidden)
     b2 = b2_ref[...].reshape(c)
+    if out_ln:
+        oln_s = oln_s_ref[...].reshape(c)
+        oln_b = oln_b_ref[...].reshape(c)
 
     def dot(a, w):
         return jax.lax.dot_general(
@@ -180,17 +187,22 @@ def _fused_full_block_kernel(
         mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
         mid = _gelu_exact(mid).astype(xs.dtype)
         out = h1.astype(jnp.float32) + dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+        if out_ln:
+            out = _layernorm_rows(out.astype(xs.dtype), oln_s, oln_b)
         o_ref[rows, :] = out.astype(o_ref.dtype)
 
 
 def fused_transformer_block(
     x, block_params: dict, n: int, heads: int, scale=None, interpret=None,
-    tiles_per_step: int = 8,
+    tiles_per_step: int = 8, out_ln_params: dict = None,
 ):
     """Whole transformer block (attention residual + MLP residual) fused.
 
     x: [R, C] flat tokens (groups of N consecutive rows); ``block_params``
-    is one ste/tte block's param subtree (norm1/attn/norm2/mlp)."""
+    is one ste/tte block's param subtree (norm1/attn/norm2/mlp).
+    ``out_ln_params`` optionally fuses the model's inter-block LayerNorm
+    (scale/bias dict) into the output write, saving one HBM round trip per
+    block."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -215,13 +227,21 @@ def fused_transformer_block(
     mlp = block_params["mlp"]
     hidden = mlp["fc1"]["kernel"].shape[-1]
 
+    out_ln = out_ln_params is not None
+    if out_ln:
+        oln_s = out_ln_params["scale"].reshape(1, c)
+        oln_b = out_ln_params["bias"].reshape(1, c)
+    else:  # dummies (ignored by the kernel)
+        oln_s = jnp.zeros((1, c), x.dtype)
+        oln_b = jnp.zeros((1, c), x.dtype)
+
     row_spec = pl.BlockSpec((step_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _fused_full_block_kernel, n=n, heads=heads, scale=scale,
-            tile_rows=tile_rows, tiles=tiles,
+            tile_rows=tile_rows, tiles=tiles, out_ln=out_ln,
         ),
         grid=(r2 // step_rows,),
         in_specs=[
@@ -232,6 +252,7 @@ def fused_transformer_block(
             full(1, c), full(1, c),
             full(c, hidden), full(1, hidden),
             full(hidden, c), full(1, c),
+            full(1, c), full(1, c),
         ],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((r2, c), x.dtype),
@@ -251,6 +272,7 @@ def fused_transformer_block(
         block_params["norm2"]["bias"].reshape(1, c),
         mlp["fc1"]["kernel"].astype(x.dtype), mlp["fc1"]["bias"].reshape(1, hidden),
         mlp["fc2"]["kernel"].astype(x.dtype), mlp["fc2"]["bias"].reshape(1, c),
+        oln_s, oln_b,
     )
     return out[:r] if r2 != r else out
 
