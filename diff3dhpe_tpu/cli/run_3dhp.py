@@ -166,8 +166,6 @@ def _masked_gt(seq_ds):
     """Ground truth frames in the same order/mask the runner's predictions
     use (batches of windows, target-mask filtered)."""
     gts = []
-    from diff3dhpe_tpu.config import Config  # noqa: F401 (doc only)
-
     for b in seq_ds.batches(batch_size=512):
         mask = (b.target_mask & b.row_mask[:, None]).reshape(-1)
         gts.append(b.gt_3d.reshape(-1, b.gt_3d.shape[-2], 3)[mask])

@@ -20,8 +20,6 @@ import numpy as np
 
 
 def main(argv=None):
-    import argparse
-
     from diff3dhpe_tpu.cli.args import args_to_overrides, build_parser
 
     parser = build_parser()
@@ -43,8 +41,7 @@ def main(argv=None):
 
     from diff3dhpe_tpu.data import Human36mDataset, PoseDataset, make_synthetic_h36m_like
     from diff3dhpe_tpu.data.dataset import _WindowedPoseData
-    from diff3dhpe_tpu.engine.runner import Runner, RunLogger
-    from diff3dhpe_tpu.engine.steps import flip_pose_jnp
+    from diff3dhpe_tpu.engine.runner import Runner
     from diff3dhpe_tpu.geometry.camera import camera_to_world, image_coordinates, world_to_camera
     from diff3dhpe_tpu.io.checkpoint import load_torch_model_params, restore_checkpoint
     from diff3dhpe_tpu.viz import (

@@ -11,7 +11,6 @@ import numpy as np
 
 from diff3dhpe_tpu.data.h36m import h36m_skeleton
 from diff3dhpe_tpu.data.mocap import MocapDataset
-from diff3dhpe_tpu.geometry.camera import normalize_screen_coordinates
 
 custom_camera_params = {
     "id": None,

@@ -18,7 +18,6 @@ from diff3dhpe_tpu.geometry.camera import (
     project_to_2d,
     world_to_camera,
 )
-from diff3dhpe_tpu.geometry.skeleton import Skeleton
 import copy
 
 

@@ -20,7 +20,7 @@ Key structural divergence from the reference (deliberate, for XLA):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
