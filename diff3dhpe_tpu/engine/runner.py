@@ -141,7 +141,8 @@ class Runner:
             mesh=self.mesh, repeat_n=cfg.repeat_n,
         )
         self.val_step = make_val_step(
-            self.diffusion, self.joints_left, self.joints_right, mesh=self.mesh
+            self.diffusion, self.joints_left, self.joints_right, mesh=self.mesh,
+            sample_diffusion=self.eval_diffusion,
         )
         self._optimizer = None
         self.state = None

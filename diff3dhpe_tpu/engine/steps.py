@@ -194,13 +194,16 @@ def make_val_step(
     joints_left: Sequence[int],
     joints_right: Sequence[int],
     mesh=None,
+    sample_diffusion: GaussianDiffusion = None,
 ):
     """End-of-epoch validation (reference run.py:364-403): flip-TTA prediction
     plus the averaged p_losses of both orientations. Returns jitted
     val_step(params, key, gt_3d_norm, input_2d, input_2d_flip) ->
-    (pred_norm, loss)."""
+    (pred_norm, loss). ``sample_diffusion`` optionally provides a faster
+    engine (e.g. the fused fast-eval path) for the DDIM sampling while
+    p_losses stays on ``diffusion``."""
     jl, jr = list(joints_left), list(joints_right)
-    eval_step = make_eval_step(diffusion, jl, jr, mesh=mesh)
+    eval_step = make_eval_step(sample_diffusion or diffusion, jl, jr, mesh=mesh)
 
     def val_step(params, key, gt_3d_norm, input_2d, input_2d_flip):
         key_pred, key_l1, key_l2 = jax.random.split(key, 3)
