@@ -156,12 +156,7 @@ def _fused_full_block_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    for t in range(tiles):
-        rows = slice(t * tile_rows, (t + 1) * tile_rows)
-        xs = x_ref[rows, :]
-        xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
-        qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
-
+    def attend_tile(qkv):
         head_outs = []
         for h in range(heads):
             q = qkv[:, h * d:(h + 1) * d]
@@ -178,18 +173,41 @@ def _fused_full_block_kernel(
             probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
             av = dot(probs.astype(v.dtype), v)
             head_outs.append(av - v.astype(jnp.float32))
-        attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
+        return jnp.concatenate(head_outs, axis=-1)
 
+    def mlp_residual(xs, attn_out):
         h1 = xs.astype(jnp.float32) + dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
         h1 = h1.astype(xs.dtype)
-
         hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(xs.dtype)
         mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
         mid = _gelu_exact(mid).astype(xs.dtype)
         out = h1.astype(jnp.float32) + dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
         if out_ln:
             out = _layernorm_rows(out.astype(xs.dtype), oln_s, oln_b)
-        o_ref[rows, :] = out.astype(o_ref.dtype)
+        return out
+
+    step_rows = tile_rows * tiles
+    if step_rows <= 1024:
+        # Hoist the step-wide GEMMs (one M=step_rows MXU call each, less
+        # M-padding waste); only the attention runs per 128-row tile.
+        xs_all = x_ref[...]
+        xn_all = _layernorm_rows(xs_all, ln_s, ln_b).astype(xs_all.dtype)
+        qkv_all = (dot(xn_all, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs_all.dtype)
+        attn_out = jnp.concatenate(
+            [attend_tile(qkv_all[t * tile_rows:(t + 1) * tile_rows, :]) for t in range(tiles)],
+            axis=0,
+        ).astype(xs_all.dtype)
+        o_ref[...] = mlp_residual(xs_all, attn_out).astype(o_ref.dtype)
+    else:
+        # Long-sequence tiles: step-wide buffers would exceed VMEM; keep the
+        # whole block per tile.
+        for t in range(tiles):
+            rows = slice(t * tile_rows, (t + 1) * tile_rows)
+            xs = x_ref[rows, :]
+            xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
+            qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
+            attn_out = attend_tile(qkv).astype(xs.dtype)
+            o_ref[rows, :] = mlp_residual(xs, attn_out).astype(o_ref.dtype)
 
 
 def fused_transformer_block(
