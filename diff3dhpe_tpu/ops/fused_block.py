@@ -121,7 +121,7 @@ def _fused_full_block_kernel(
     x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     oln_s_ref, oln_b_ref, o_ref,
-    *, n, heads, scale, tile_rows, tiles, out_ln,
+    *, n, n8, heads, scale, tile_rows, tiles, out_ln,
 ):
     """Whole transformer block per tile: attention residual + MLP residual,
     optionally followed by the model's inter-block LayerNorm (the
@@ -129,13 +129,19 @@ def _fused_full_block_kernel(
     ST_foward:236,245) fused into the output write."""
     c = x_ref.shape[-1]
     d = c // heads
-    p = tile_rows // n
+    p = tile_rows // n8
 
+    # Groups occupy n8 >= n rows per tile (n8 > n when groups were padded to
+    # an 8-row multiple); mask keeps softmax within each group's REAL rows.
     mask = None
-    if p > 1:
-        row_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 0) // n
-        col_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 1) // n
-        mask = jnp.where(row_g == col_g, 0.0, -1e30).astype(jnp.float32)
+    if p > 1 or n8 != n:
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 0) // n8
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 1) // n8
+        allowed = row_g == col_g
+        if n8 != n:
+            col_in = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, tile_rows), 1) % n8
+            allowed = allowed & (col_in < n)
+        mask = jnp.where(allowed, 0.0, -1e30).astype(jnp.float32)
 
     ln_s = ln_s_ref[...].reshape(c)
     ln_b = ln_b_ref[...].reshape(c)
@@ -232,14 +238,28 @@ def fused_transformer_block(
     if scale is None:
         scale = d ** -0.5
 
-    p = max(1, 128 // n) if n <= 64 else 1
-    tile_rows = p * n
+    n8 = n
+    if n > 64 and n % 8:
+        # Pad each group to an 8-row multiple: grid steps no longer need 8
+        # whole groups for Mosaic's block-divisibility rule, so the hoisted
+        # GEMM path applies to long sequences too.
+        n8 = ((n + 7) // 8) * 8
+        g = r // n
+        x = jnp.pad(x.reshape(g, n, c), ((0, 0), (0, n8 - n), (0, 0))).reshape(g * n8, c)
+        r_pad = g * n8
+    else:
+        r_pad = r
+
+    p = max(1, 128 // n8) if n8 <= 64 else 1
+    tile_rows = p * n8
     tiles = tiles_per_step
     while (tile_rows * tiles) % 8:
         tiles += 1
+    while tile_rows * tiles > 1024 and tiles > 1 and (tile_rows * (tiles - 1)) % 8 == 0:
+        tiles -= 1
     step_rows = tile_rows * tiles
-    r2 = ((r + step_rows - 1) // step_rows) * step_rows
-    x_p = jnp.pad(x, ((0, r2 - r), (0, 0))) if r2 != r else x
+    r2 = ((r_pad + step_rows - 1) // step_rows) * step_rows
+    x_p = jnp.pad(x, ((0, r2 - r_pad), (0, 0))) if r2 != r_pad else x
 
     attn = block_params["attn"]
     mlp = block_params["mlp"]
@@ -258,7 +278,7 @@ def fused_transformer_block(
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _fused_full_block_kernel, n=n, heads=heads, scale=scale,
+            _fused_full_block_kernel, n=n, n8=n8, heads=heads, scale=scale,
             tile_rows=tile_rows, tiles=tiles, out_ln=out_ln,
         ),
         grid=(r2 // step_rows,),
@@ -292,7 +312,11 @@ def fused_transformer_block(
         mlp["fc2"]["kernel"].astype(x.dtype), mlp["fc2"]["bias"].reshape(1, c),
         oln_s, oln_b,
     )
-    return out[:r] if r2 != r else out
+    out = out[:r_pad] if r2 != r_pad else out
+    if n8 != n:
+        g = r // n
+        out = out.reshape(g, n8, c)[:, :n, :].reshape(r, c)
+    return out
 
 
 def fused_attention_block(
