@@ -24,7 +24,7 @@ def _xla_reference(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj, n, heads):
     return x + (out @ w_proj + b_proj)
 
 
-@pytest.mark.parametrize("n,groups", [(17, 21), (17, 8), (243, 3)])
+@pytest.mark.parametrize("n,groups", [(17, 21), (17, 8), (243, 3), (81, 5), (27, 9)])
 def test_fused_attention_block_matches_xla(rng, n, groups):
     c, heads = 64, 8
     r = n * groups
