@@ -22,7 +22,9 @@ import os
 import sys
 import time
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# B=4 (8 rows with flip doubling) measured fastest per-seq with the fused
+# kernels on v5e: 20.6 seq/s vs 18.1 (B=8) / 15.2 (B=16) / 19.8 (B=2).
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 DDIM_STEPS = 9
 FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
 # bf16 activations (f32 params + f32 schedule math) measured 1.5x over f32
@@ -82,7 +84,7 @@ def measure_tpu() -> dict:
     out = eval_step(params, key, x2d, x2d_flip)
     float(sum_sync(out))
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     t0 = time.time()
     for i in range(iters):
         out = eval_step(params, jax.random.fold_in(key, i), x2d, x2d_flip)

@@ -132,3 +132,18 @@ def test_p_mpjpe_device_matches_host(rng):
     host = p_mpjpe(pred, target)
     dev = float(jax.jit(p_mpjpe_device)(pred, target))
     np.testing.assert_allclose(dev, host, rtol=1e-4)
+
+
+def test_profiling_utilities():
+    import jax.numpy as jnp
+
+    from diff3dhpe_tpu.utils.profiling import clever_format, flops_of, param_count
+
+    assert clever_format(1234.0) == "1.2K"
+    assert clever_format(33_600_000.0) == "33.6M"
+    assert clever_format(None) == "n/a"
+    params = {"a": np.zeros((10, 20)), "b": {"c": np.zeros(5)}}
+    assert param_count(params) == 205
+    f = flops_of(lambda x, y: x @ y, jnp.zeros((8, 16)), jnp.zeros((16, 4)))
+    if f is not None:  # backend-dependent availability
+        assert f > 0
