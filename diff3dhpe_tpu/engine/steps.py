@@ -163,20 +163,22 @@ def make_eval_step(
     joints_right: Sequence[int],
     mesh=None,
     repeat_n: int = 1,
+    shard_map_batch: bool = None,
 ):
     """Returns jitted eval_step(params, key, input_2d, input_2d_flip)
-    -> predicted_3d_norm [B, F_out, J, 3] (flip-TTA averaged)."""
+    -> predicted_3d_norm [B, F_out, J, 3] (flip-TTA averaged).
+
+    On a multi-device mesh the batch is split over the 'data' axis. When the
+    diffusion engine contains Pallas kernels (the fast-eval path), XLA's SPMD
+    partitioner cannot split the custom calls, so the per-device computation
+    is wrapped in shard_map (params replicated, batch sharded) —
+    ``shard_map_batch=None`` auto-detects by probing the denoiser for a
+    pallas_call. The batch must then divide the data-axis size.
+    """
 
     jl, jr = list(joints_left), list(joints_right)
 
-    def eval_step(params, key, input_2d, input_2d_flip):
-        if mesh is not None:
-            from diff3dhpe_tpu.parallel.mesh import batch_sharding
-
-            input_2d = jax.lax.with_sharding_constraint(input_2d, batch_sharding(mesh))
-            input_2d_flip = jax.lax.with_sharding_constraint(
-                input_2d_flip, batch_sharding(mesh)
-            )
+    def eval_body(params, key, input_2d, input_2d_flip):
         b, f, j, _ = input_2d.shape
         f_out = f if diffusion.mode == "s2s" else 1
         both = jnp.concatenate([input_2d, input_2d_flip], axis=0)
@@ -186,7 +188,55 @@ def make_eval_step(
         pred_flip = flip_pose_jnp(pred_flip, jl, jr)
         return (pred_normal + pred_flip) / 2.0
 
+    data_size = 1
+    if mesh is not None and "data" in mesh.axis_names:
+        data_size = mesh.shape["data"]
+
+    if mesh is None or data_size <= 1:
+        return jax.jit(eval_body)
+
+    if shard_map_batch is None:
+        shard_map_batch = _uses_pallas(diffusion)
+
+    from jax.sharding import PartitionSpec as P
+
+    if shard_map_batch:
+        from jax.experimental.shard_map import shard_map
+
+        other_axes = tuple(a for a in mesh.axis_names if a != "data")
+
+        def eval_step(params, key, input_2d, input_2d_flip):
+            body = shard_map(
+                lambda p, x, xf: eval_body(p, key, x, xf),
+                mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"),
+                check_rep=False,
+            )
+            return body(params, input_2d, input_2d_flip)
+
+        return jax.jit(eval_step)
+
+    def eval_step(params, key, input_2d, input_2d_flip):
+        from diff3dhpe_tpu.parallel.mesh import batch_sharding
+
+        input_2d = jax.lax.with_sharding_constraint(input_2d, batch_sharding(mesh))
+        input_2d_flip = jax.lax.with_sharding_constraint(
+            input_2d_flip, batch_sharding(mesh)
+        )
+        return eval_body(params, key, input_2d, input_2d_flip)
+
     return jax.jit(eval_step)
+
+
+def _uses_pallas(diffusion: GaussianDiffusion) -> bool:
+    """Whether the engine's denoiser lowers to Pallas custom calls (the
+    fast-eval functional forward does; the flax module does not)."""
+    fn = diffusion.denoise_fn
+    return "fast_forward_denoise" in getattr(fn, "__qualname__", "") or (
+        getattr(fn, "__module__", "").endswith("steps")
+        and fn.__qualname__.startswith("make_fast_denoise_fn")
+    )
 
 
 def make_val_step(
