@@ -193,7 +193,9 @@ def _fused_full_block_kernel(
         return out
 
     step_rows = tile_rows * tiles
-    if step_rows <= 1024:
+    # Hoist when the step-wide qkv buffer fits comfortably in VMEM.
+    qkv_bytes = step_rows * 3 * c * jnp.dtype(x_ref.dtype).itemsize
+    if step_rows <= 1024 and qkv_bytes <= 6_400_000:
         # Hoist the step-wide GEMMs (one M=step_rows MXU call each, less
         # M-padding waste); only the attention runs per 128-row tile.
         xs_all = x_ref[...]
@@ -238,11 +240,14 @@ def fused_transformer_block(
     if scale is None:
         scale = d ** -0.5
 
+    itemsize = jnp.dtype(x.dtype).itemsize
+
     n8 = n
-    if n > 64 and n % 8:
-        # Pad each group to an 8-row multiple: grid steps no longer need 8
-        # whole groups for Mosaic's block-divisibility rule, so the hoisted
-        # GEMM path applies to long sequences too.
+    # Pad each group to an 8-row multiple when that unlocks smaller grid
+    # steps under Mosaic's block-divisibility rule: always for long
+    # sequences (hoisted-GEMM path), and for small groups too at f32, where
+    # bf16's VMEM budget would otherwise be exceeded.
+    if n % 8 and (n > 64 or itemsize >= 4):
         n8 = ((n + 7) // 8) * 8
         g = r // n
         x = jnp.pad(x.reshape(g, n, c), ((0, 0), (0, n8 - n), (0, 0))).reshape(g * n8, c)
@@ -252,11 +257,14 @@ def fused_transformer_block(
 
     p = max(1, 128 // n8) if n8 <= 64 else 1
     tile_rows = p * n8
+    # VMEM budget: keep the step's qkv buffer around ~3 MB (the weights are
+    # resident: ~4 MB bf16 / ~8 MB f32).
+    budget_rows = max(tile_rows, (3_100_000 // (3 * c * itemsize)) // 8 * 8 or tile_rows)
     tiles = tiles_per_step
+    while tile_rows * tiles > budget_rows and tiles > 1:
+        tiles -= 1
     while (tile_rows * tiles) % 8:
         tiles += 1
-    while tile_rows * tiles > 1024 and tiles > 1 and (tile_rows * (tiles - 1)) % 8 == 0:
-        tiles -= 1
     step_rows = tile_rows * tiles
     r2 = ((r_pad + step_rows - 1) // step_rows) * step_rows
     x_p = jnp.pad(x, ((0, r2 - r_pad), (0, 0))) if r2 != r_pad else x
