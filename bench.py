@@ -86,9 +86,16 @@ def measure_tpu() -> dict:
 
     iters = int(os.environ.get("BENCH_ITERS", "16"))
     t0 = time.time()
+    acc = None
     for i in range(iters):
         out = eval_step(params, jax.random.fold_in(key, i), x2d, x2d_flip)
-    assert float(sum_sync(out)) == float(sum_sync(out))  # forces the chain
+        # Sum EVERY iteration's output into one lazy device scalar so the
+        # final host transfer provably forces all launches (a single TPU
+        # core happens to execute in order, but that is backend trivia the
+        # timing must not depend on).
+        s = sum_sync(out)
+        acc = s if acc is None else acc + s
+    assert jnp.isfinite(float(acc))
     dt = time.time() - t0
 
     n_chips = jax.device_count()
@@ -102,6 +109,23 @@ def measure_tpu() -> dict:
         iters=iters,
         wall_s=dt,
     )
+
+
+def analytic_model_flops() -> float:
+    """Matmul+attention FLOPs of ONE denoiser forward on one sequence
+    (batch row), from the architecture constants — the basis for the MFU /
+    roofline-gap numbers (PERF.md)."""
+    L = FRAMES * JOINTS
+    C = EMBED
+    H = int(2.0 * C)  # mlp_ratio = 2
+    per_token_gemms = 2 * C * (3 * C) + 2 * C * C + 2 * C * H + 2 * H * C
+    block = L * per_token_gemms
+    attn = lambda n: 2 * 2 * L * n * C  # QK^T + AV per token group
+    total = 0.0
+    total += L * 2 * 5 * C  # fusion layer
+    total += DEPTH * (2 * block + attn(JOINTS) + attn(FRAMES))
+    total += L * 2 * C * 3  # head
+    return float(total)
 
 
 def measure_torch_baseline() -> float:
@@ -182,6 +206,15 @@ def main():
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline, vs = 0.0, 0.0
 
+    # Hardware-utilisation view (the honest efficiency number: vs_baseline
+    # compares against the reference torch impl on this host's CPU — the
+    # only place it can run here — which inflates the ratio; judge by MFU /
+    # roofline gap instead, see PERF.md).
+    flops_per_seq = 2 * DDIM_STEPS * analytic_model_flops()  # flip-TTA doubles
+    achieved_tflops = flops_per_seq * result["seqs_per_sec_per_chip"] / 1e12
+    peak_tflops = 394.0 if DTYPE == "bfloat16" else 197.0  # v5e per chip
+    mfu = achieved_tflops / peak_tflops
+
     print(json.dumps(dict(
         metric="pose_seqs_per_sec_per_chip_243f_ddim9_flipTTA",
         value=round(result["seqs_per_sec_per_chip"], 3),
@@ -194,6 +227,11 @@ def main():
             batch=result["batch"],
             dtype=DTYPE,
             baseline_torch_cpu_seqs_per_sec=round(baseline, 4),
+            baseline_note="torch reference on host CPU (no GPU/TPU torch "
+                          "backend in image); ratio is not a GPU comparison",
+            model_tflops_per_seq=round(flops_per_seq / 1e12, 4),
+            achieved_tflops_per_chip=round(achieved_tflops, 2),
+            mfu=round(mfu, 4),
         ),
     )))
 

@@ -41,13 +41,20 @@ def main(argv=None):
     # Dataset
     # ------------------------------------------------------------------
     keypoints_data = None
-    if args.synthetic:
+    all_subjects = tuple(
+        dict.fromkeys(cfg.subjects_train.split(",") + cfg.subjects_test.split(","))
+    )
+    if args.synthetic and cfg.dataset.startswith("humaneva"):
+        from diff3dhpe_tpu.data.synthetic import make_synthetic_humaneva
+
+        dataset, keypoints_data = make_synthetic_humaneva(
+            subjects=all_subjects,
+            n_frames=max(4 * cfg.number_of_frames, 100),
+            seed=cfg.seed,
+        )
+    elif args.synthetic:
         dataset, keypoints_data = make_synthetic_h36m_like(
-            subjects=tuple(
-                dict.fromkeys(
-                    cfg.subjects_train.split(",") + cfg.subjects_test.split(",")
-                )
-            ),
+            subjects=all_subjects,
             n_frames=max(4 * cfg.number_of_frames, 100),
             seed=cfg.seed,
         )
@@ -134,13 +141,24 @@ def main(argv=None):
             noise_std=cfg.train_extra_noise_std, joint_drop_rate=cfg.train_joint_drop,
             keypoints_data=keypoints_data,
         )
-        print(f"INFO: Training on {len(train_ds)} windows, testing on {len(test_ds)}")
+        # Per-epoch validation split: train subjects, no augmentation, its
+        # own corruption knobs (reference run.py:278-284).
+        val_ds = PoseDataset(
+            cfg, dataset, cfg.data_root, "val",
+            noise_std=cfg.train_val_extra_noise_std,
+            joint_drop_rate=cfg.train_val_joint_drop,
+            keypoints_data=keypoints_data,
+        )
+        print(
+            f"INFO: Training on {len(train_ds)} windows, validating on "
+            f"{len(val_ds)}, testing on {len(test_ds)}"
+        )
         resume_path = (
             os.path.join(cfg.checkpoint, cfg.resume)
             if cfg.resume and not os.path.exists(cfg.resume)
             else (cfg.resume or None)
         )
-        result = runner.fit(train_ds, test_ds, resume=resume_path)
+        result = runner.fit(train_ds, val_ds, resume=resume_path)
         if result["best_path"]:
             state, _ = restore_checkpoint(result["best_path"], runner.state)
             runner.state = state

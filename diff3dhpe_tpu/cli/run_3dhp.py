@@ -101,13 +101,24 @@ def main(argv=None):
             split="train", noise_std=cfg.train_extra_noise_std,
             joint_drop_rate=cfg.train_joint_drop,
         )
-        print(f"INFO: Training on {len(train_ds)} windows, testing on {len(test_all_ds)}")
+        # Per-epoch validation on the train sequences without augmentation
+        # (reference run_3dhp.py:234-236 — note the reference passes
+        # train_extra_noise_std, not train_val_*, for this dataset).
+        val_ds = PoseDataset3DHP(
+            cfg, dataset._train, dataset._pos_3d_min, dataset._pos_3d_max,
+            split="val", noise_std=cfg.train_extra_noise_std,
+            joint_drop_rate=cfg.train_joint_drop,
+        )
+        print(
+            f"INFO: Training on {len(train_ds)} windows, validating on "
+            f"{len(val_ds)}, testing on {len(test_all_ds)}"
+        )
         resume_path = (
             os.path.join(cfg.checkpoint, cfg.resume)
             if cfg.resume and not os.path.exists(cfg.resume)
             else (cfg.resume or None)
         )
-        result = runner.fit(train_ds, test_all_ds, resume=resume_path)
+        result = runner.fit(train_ds, val_ds, resume=resume_path)
         if result["best_path"]:
             state, _ = restore_checkpoint(result["best_path"], runner.state)
             runner.state = state

@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--viz-limit", type=int, default=60, help="frames to render")
     parser.add_argument("--viz-chain-samples", type=int, default=20,
                         help="forward-diffusion snapshots")
+    parser.add_argument("--viz-video", type=str, default=None,
+                        help="footage to overlay poses on: a frame directory, "
+                             "GIF, or imageio-readable file")
+    parser.add_argument("--viz-video-skip", type=int, default=0,
+                        help="frames to skip at the start of the footage")
     args = parser.parse_args(argv)
 
     from diff3dhpe_tpu.config import load_config
@@ -45,11 +50,14 @@ def main(argv=None):
     from diff3dhpe_tpu.geometry.camera import camera_to_world, image_coordinates, world_to_camera
     from diff3dhpe_tpu.io.checkpoint import load_torch_model_params, restore_checkpoint
     from diff3dhpe_tpu.viz import (
+        read_video,
         render_2d_animation,
         render_2d_figs,
         render_3d_animation,
         render_3d_figs,
         render_chain_animation,
+        render_hypotheses_animation,
+        render_video_overlay,
     )
 
     os.makedirs(args.viz_output, exist_ok=True)
@@ -161,8 +169,41 @@ def main(argv=None):
     p5 = render_3d_figs(rev, parents, joints_right,
                         os.path.join(args.viz_output, "reverse_diffusion_steps.png"),
                         step_indices=[0, s // 2, s - 1])
+    outputs = [p1, p2, p2b, p3, p4, p5]
 
-    print("Wrote:", ", ".join([p1, p2, p2b, p3, p4, p5]))
+    # Multi-hypothesis animation (reference README:79's `-b 4` flow): sample
+    # repeat_n independent hypotheses for the first window and render each
+    # panel plus their mean with per-frame MPJPE.
+    if cfg.repeat_n > 1:
+        f_out = x0.shape[1]
+        hyps = runner.eval_diffusion.estimate_pose(
+            runner.state.params, key, x2d, (1, f_out, x0.shape[2], 3),
+            repeat_n=cfg.repeat_n, reduce=False,
+        )
+        hyps_cam = np.asarray(hyps)[:, 0] * seq_ds.scale  # [H, F, J, 3]
+        n_h = min(hyps_cam.shape[1], len(traj), args.viz_limit)
+        hyps_world = np.stack([
+            camera_to_world(h[:n_h] + traj[:n_h], R=cam["orientation"], t=cam["translation"])
+            for h in hyps_cam
+        ])
+        outputs.append(render_hypotheses_animation(
+            gt_world[:n_h], hyps_world, parents, joints_right,
+            os.path.join(args.viz_output, "hypotheses_3d.gif"),
+            azim=cam.get("azimuth", 70.0),
+        ))
+
+    # Pose-over-footage overlay (reference visualization_ani.py:44-63,71-228).
+    if args.viz_video:
+        frames = read_video(args.viz_video, limit=n, skip=args.viz_video_skip)
+        outputs.append(render_video_overlay(
+            frames, kps_pix[: frames.shape[0]], parents, joints_right,
+            os.path.join(args.viz_output, "video_overlay.gif"),
+            prediction=pred_world[: frames.shape[0]],
+            gt=gt_world[: frames.shape[0]],
+            azim=cam.get("azimuth", 70.0),
+        ))
+
+    print("Wrote:", ", ".join(outputs))
     return m
 
 

@@ -260,7 +260,10 @@ class PoseDataset(_WindowedPoseData):
             joints_right=self.joints_right,
             augment=(split == "train") and opt.data_augmentation,
             test_aug=opt.test_time_augmentation,
-            train=(split in ("train", "val")),
+            # The 'val' split (train subjects, no augmentation — reference
+            # load_noisy_data.py:95-107) is iterated with flip-TTA per epoch,
+            # so it needs the flip copies that train batches don't carry.
+            train=(split == "train"),
             noise_std=noise_std,
             joint_drop_rate=joint_drop_rate,
         )
@@ -435,7 +438,7 @@ class PoseDataset3DHP(_WindowedPoseData):
             joints_right=self.joints_right,
             augment=(split == "train") and opt.data_augmentation,
             test_aug=opt.test_time_augmentation,
-            train=(split in ("train", "val")),
+            train=(split == "train"),
             noise_std=noise_std,
             joint_drop_rate=joint_drop_rate,
         )

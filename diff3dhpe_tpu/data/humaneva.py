@@ -1,9 +1,17 @@
 """HumanEva-I dataset (reference: common/humaneva_dataset.py).
 
-15-joint skeleton and the public HumanEva camera calibration. Note: the
-reference version never computes _pos_3d_min/_pos_3d_max, so its
-load_Dataset path crashes (SURVEY.md 2.1 #14) — this implementation computes
-them the same way the H3.6M loader does, making the dataset actually usable.
+15-joint skeleton and the public HumanEva camera calibration (constants are
+public calibration data, same values as the VideoPose3D lineage). Two fixes
+over the reference, which ships a HumanEva path that cannot run:
+
+- the reference never computes _pos_3d_min/_pos_3d_max, so its load_Dataset
+  crashes (SURVEY.md 2.1 #14); we compute them like the H3.6M loader does;
+- we also carry the intrinsic center/focal/distortion parameters so GT-2D
+  projection works for synthetic/prepared archives.
+
+Per-subject extrinsics (orientation quaternion + translation, mm -> m) are
+attached to every camera dict, keyed under each of the archive's subject
+prefixes (reference humaneva_dataset.py:42-110).
 """
 from __future__ import annotations
 
@@ -33,13 +41,48 @@ _CAMERAS_INTRINSIC = [
      "radial_distortion": [-0.270482, 0.063358, 0.0], "tangential_distortion": [-0.001497, -0.000394]},
 ]
 
+# Per-subject extrinsics (reference humaneva_dataset.py:42-91): world->camera
+# orientation quaternion (w, x, y, z) and translation in millimetres.
+_CAMERAS_EXTRINSIC = {
+    "S1": [
+        {"orientation": [0.424207, -0.4983646, -0.5802981, 0.4847012],
+         "translation": [4062.227, 663.2477, 1528.397]},
+        {"orientation": [0.6503354, -0.7481602, -0.0919284, 0.0941766],
+         "translation": [844.8131, -3805.2092, 1504.9929]},
+        {"orientation": [0.0664734, -0.0690535, 0.7416416, -0.6639132],
+         "translation": [-797.67377, 3916.3174, 1433.6602]},
+    ],
+    "S2": [
+        {"orientation": [0.4214752, -0.4961493, -0.5838273, 0.4851187],
+         "translation": [4112.9121, 626.4929, 1545.2988]},
+        {"orientation": [0.6501393, -0.7476588, -0.0954617, 0.0959808],
+         "translation": [923.5740, -3877.9243, 1504.5518]},
+        {"orientation": [0.0699353, -0.0712403, 0.7421637, -0.662742],
+         "translation": [-781.4915, 3838.8853, 1444.9929]},
+    ],
+    "S3": [
+        {"orientation": [0.424207, -0.4983646, -0.5802981, 0.4847012],
+         "translation": [4062.2271, 663.2477, 1528.3970]},
+        {"orientation": [0.6503354, -0.7481602, -0.0919284, 0.0941766],
+         "translation": [844.8131, -3805.2092, 1504.9929]},
+        {"orientation": [0.0664734, -0.0690535, 0.7416416, -0.6639132],
+         "translation": [-797.6738, 3916.3174, 1433.6602]},
+    ],
+    "S4": [{}, {}, {}],
+}
 
-class HumanEvaDataset(MocapDataset):
-    def __init__(self, path):
-        super().__init__(fps=60, skeleton=copy.deepcopy(humaneva_skeleton))
+# The serialized archive keys subjects by split prefix (reference :105-110).
+_SUBJECT_PREFIXES = ("Train/", "Validate/", "Unlabeled/Train/",
+                     "Unlabeled/Validate/", "Unlabeled/")
 
-        cameras = copy.deepcopy(_CAMERAS_INTRINSIC)
-        for cam in cameras:
+
+def _build_subject_cameras():
+    """Merged intrinsic+extrinsic camera dicts for every prefixed subject."""
+    out = {}
+    for subject, extrinsics in _CAMERAS_EXTRINSIC.items():
+        cams = []
+        for intr, extr in zip(copy.deepcopy(_CAMERAS_INTRINSIC), extrinsics):
+            cam = dict(intr)
             for k, v in cam.items():
                 if k not in ("id", "res_w", "res_h"):
                     cam[k] = np.array(v, dtype="float32")
@@ -51,13 +94,40 @@ class HumanEvaDataset(MocapDataset):
                 (cam["focal_length"], cam["center"],
                  cam["radial_distortion"], cam["tangential_distortion"])
             )
+            if extr:
+                cam["orientation"] = np.array(extr["orientation"], dtype="float32")
+                cam["translation"] = (
+                    np.array(extr["translation"], dtype="float32") / 1000.0  # mm -> m
+                )
+            cams.append(cam)
+        for prefix in _SUBJECT_PREFIXES:
+            out[prefix + subject] = cams
+        out[subject] = cams  # bare subject names (synthetic archives)
+    return out
 
-        data = np.load(path, allow_pickle=True)["positions_3d"].item()
+
+class HumanEvaDataset(MocapDataset):
+    def __init__(self, path=None, data=None):
+        """``path``: a data_3d_humaneva*.npz archive with a positions_3d
+        dict; or pass the dict directly via ``data`` (synthetic pipelines).
+        """
+        super().__init__(fps=60, skeleton=copy.deepcopy(humaneva_skeleton))
+
+        subject_cameras = _build_subject_cameras()
+
+        if data is None:
+            data = np.load(path, allow_pickle=True)["positions_3d"].item()
 
         self._cameras = {}
         self._data = {}
         all_pos_3d = []
         for subject, actions in data.items():
+            cameras = subject_cameras.get(subject)
+            if cameras is None:
+                raise KeyError(
+                    f"Unknown HumanEva subject {subject!r}; expected one of "
+                    f"{sorted(subject_cameras)}"
+                )
             self._cameras[subject] = cameras
             self._data[subject] = {}
             for action_name, positions in actions.items():
@@ -72,7 +142,9 @@ class HumanEvaDataset(MocapDataset):
                 if pos is not None:
                     for cam in cameras:
                         if "orientation" in cam:
-                            pos_3d = world_to_camera(pos, R=cam["orientation"], t=cam["translation"])
+                            pos_3d = world_to_camera(
+                                pos, R=cam["orientation"], t=cam["translation"]
+                            )
                         else:
                             pos_3d = pos
                         all_pos_3d.append(pos_3d)

@@ -103,6 +103,51 @@ def make_synthetic_h36m_like(subjects=("S1", "S5", "S9"), actions=("Walking 1", 
     return dataset, keypoints_data
 
 
+def make_synthetic_humaneva(subjects=("Train/S1", "Validate/S1"),
+                            actions=("Walking 1", "Jog 1"),
+                            n_frames=120, seed=0):
+    """Synthetic HumanEva-shaped dataset: world-space 15-joint walks plus
+    GT 2D keypoints projected through the real HumanEva cameras. Returns
+    (dataset, keypoints_data) like make_synthetic_h36m_like."""
+    from diff3dhpe_tpu.data.humaneva import HumanEvaDataset
+
+    rng = np.random.default_rng(seed)
+    positions_3d = {}
+    for subject in subjects:
+        positions_3d[subject] = {
+            action: _random_walk_poses(rng, n_frames, n_joints=15)
+            for action in actions
+        }
+    dataset = HumanEvaDataset(data=positions_3d)
+
+    positions_2d = {}
+    for subject in subjects:
+        positions_2d[subject] = {}
+        for action in dataset[subject].keys():
+            anim = dataset[subject][action]
+            kps_all = []
+            for cam in anim["cameras"]:
+                pos_3d = world_to_camera(
+                    anim["positions"], R=cam["orientation"], t=cam["translation"]
+                )
+                pos_2d = project_to_2d(pos_3d[None], cam["intrinsic"][None])[0]
+                pos_2d_pixel = image_coordinates(pos_2d, w=cam["res_w"], h=cam["res_h"])
+                kps_all.append(pos_2d_pixel.astype(np.float32))
+            positions_2d[subject][action] = kps_all
+
+    keypoints_data = {
+        "positions_2d": positions_2d,
+        "metadata": {
+            "num_joints": 15,
+            "keypoints_symmetry": [
+                list(dataset.skeleton().joints_left()),
+                list(dataset.skeleton().joints_right()),
+            ],
+        },
+    }
+    return dataset, keypoints_data
+
+
 class _SynthSplit:
     """Duck-typed Base3DHPSplit carrying synthetic sequences."""
 

@@ -208,7 +208,8 @@ class GaussianDiffusion:
         return x_start
 
     def ddim_sample_loop(self, params, key, x_cond, target_shape,
-                         collect_chain: bool = False, x_init=None):
+                         collect_chain: bool = False, x_init=None,
+                         row_index=None):
         """DDIM reverse diffusion as one lax.scan (reference :263-300).
 
         x_cond: [B, F, J, Cin] conditioning; target_shape: output shape
@@ -216,27 +217,46 @@ class GaussianDiffusion:
         ``collect_chain`` also the per-step states and x0 estimates (for the
         visualisation path, reference :304-347). ``x_init`` overrides the
         x_T ~ N(0, I) draw (parity testing / reproducing external runs).
+
+        All sampling noise is drawn PER ROW from fold_in(key, row_index[i]),
+        so predictions are invariant to how the batch is sharded over a
+        device mesh: a shard_map'd shard passes its rows' global indices and
+        draws exactly the noise the unsharded program would for those rows.
         """
         tables = self._ddim_step_tables()
         s = self.sampling_timesteps
         key_init, key_steps = jax.random.split(key)
+        if row_index is None:
+            row_index = jnp.arange(target_shape[0])
+        row_shape = tuple(target_shape[1:])
         if x_init is None:
-            x_init = jax.random.normal(key_init, target_shape, jnp.float32)
-        step_keys = jax.random.split(key_steps, s)
+            x_init = jax.vmap(
+                lambda i: jax.random.normal(
+                    jax.random.fold_in(key_init, i), row_shape, jnp.float32
+                )
+            )(row_index)
+        stochastic = self.ddim_sampling_eta != 0.0
 
         def body(x, step):
-            tb, k = step
+            tb, step_i = step
             x_start = self._model_x_start(params, x, tb["t"], x_cond)
-            noise = jax.random.normal(k, x.shape, x.dtype)
-            x_updated = (
-                x_start * tb["sqrt_alpha_next"]
-                + tb["coef"] * ((x - tb["alpha"] * x_start) / tb["sqrt_om"])
-                + tb["sigma"] * noise
+            upd = x_start * tb["sqrt_alpha_next"] + tb["coef"] * (
+                (x - tb["alpha"] * x_start) / tb["sqrt_om"]
             )
-            x_new = jnp.where(tb["is_last"], x_start, x_updated)
+            if stochastic:
+                noise = jax.vmap(
+                    lambda i: jax.random.normal(
+                        jax.random.fold_in(
+                            jax.random.fold_in(key_steps, step_i), i
+                        ),
+                        row_shape, x.dtype,
+                    )
+                )(row_index)
+                upd = upd + tb["sigma"] * noise
+            x_new = jnp.where(tb["is_last"], x_start, upd)
             return x_new, (x_new, x_start) if collect_chain else None
 
-        xs = ({k: v for k, v in tables.items()}, step_keys)
+        xs = ({k: v for k, v in tables.items()}, jnp.arange(s))
         x_final, chain = jax.lax.scan(body, x_init, xs)
         if collect_chain:
             # [S, ...] -> [..., S] to match the reference's stacked layout.
@@ -290,18 +310,37 @@ class GaussianDiffusion:
     # ------------------------------------------------------------------
     # Public entry points (mirror the reference's forward():421-449)
     # ------------------------------------------------------------------
-    def estimate_pose(self, params, key, pose_2d, target_shape, repeat_n: int = 1):
+    def estimate_pose(self, params, key, pose_2d, target_shape, repeat_n: int = 1,
+                      row_index=None, num_rows: Optional[int] = None,
+                      reduce: bool = True):
         """DDIM-sample a 3D pose estimate; multi-hypothesis averaging when
         repeat_n > 1 (hypotheses stacked on a leading vmap-style batch tile,
-        then averaged — reference :434-448)."""
+        then averaged — reference :434-448). ``reduce=False`` returns the
+        individual hypotheses [repeat_n, B, ...] instead of their mean (the
+        reference's multi-hypothesis visualisation flow, README:79).
+
+        ``row_index``/``num_rows`` identify this call's rows within a larger
+        (possibly mesh-sharded) logical batch so the per-row noise draw is
+        shard-invariant; hypothesis r of row i uses index i + r * num_rows.
+        """
+        b = target_shape[0]
+        if row_index is None:
+            row_index = jnp.arange(b)
+        if num_rows is None:
+            num_rows = b
         if repeat_n > 1:
             pose_2d = jnp.tile(pose_2d, (repeat_n, 1, 1, 1))
-            target_shape = (target_shape[0] * repeat_n,) + tuple(target_shape[1:])
-        pred = self.ddim_sample_loop(params, key, pose_2d, tuple(target_shape))
+            target_shape = (b * repeat_n,) + tuple(target_shape[1:])
+            row_index = jnp.concatenate(
+                [row_index + r * num_rows for r in range(repeat_n)]
+            )
+        pred = self.ddim_sample_loop(
+            params, key, pose_2d, tuple(target_shape), row_index=row_index
+        )
         if repeat_n > 1:
-            b = target_shape[0] // repeat_n
-            pred = jnp.mean(pred.reshape((repeat_n, b) + pred.shape[1:]), axis=0)
-        return pred
+            pred = pred.reshape((repeat_n, b) + pred.shape[1:])
+            return jnp.mean(pred, axis=0) if reduce else pred
+        return pred if reduce else pred[None]
 
     def training_loss(self, params, key, clean_3d_pose, noisy_2d_pose, dropout_key=None):
         """Mean training loss (scalar)."""

@@ -138,11 +138,11 @@ class Runner:
             self.eval_diffusion = self.diffusion
         self.eval_step = make_eval_step(
             self.eval_diffusion, self.joints_left, self.joints_right,
-            mesh=self.mesh, repeat_n=cfg.repeat_n,
+            mesh=self.mesh, repeat_n=cfg.repeat_n, tta=cfg.test_time_augmentation,
         )
         self.val_step = make_val_step(
             self.diffusion, self.joints_left, self.joints_right, mesh=self.mesh,
-            sample_diffusion=self.eval_diffusion,
+            sample_diffusion=self.eval_diffusion, tta=cfg.test_time_augmentation,
         )
         self._optimizer = None
         self.state = None
@@ -170,7 +170,15 @@ class Runner:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
 
     # ------------------------------------------------------------------
-    def fit(self, train_ds, test_ds, resume: Optional[str] = None):
+    def fit(self, train_ds, val_ds, resume: Optional[str] = None):
+        """Epoch loop. Per-epoch validation and early stopping run on
+        ``val_ds`` — the reference's 'val' split (train subjects, no
+        augmentation, its own noise knobs; reference run.py:278-284 and
+        load_noisy_data.py:95-107). The reference's own epoch loop iterates
+        the test loader (run.py:364) despite building that val dataset; we
+        validate on the val split to keep the test set out of early
+        stopping. The final test evaluation is a separate `evaluate` call.
+        """
         cfg = self.cfg
         log = self.logger
         steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
@@ -219,7 +227,7 @@ class Runner:
             losses_train.append(train_loss)
 
             if not cfg.no_eval:
-                val_mpjpe, val_loss = self._validate(test_ds, key)
+                val_mpjpe, val_loss = self._validate(val_ds, key)
                 losses_valid.append(val_mpjpe)
             else:
                 val_mpjpe, val_loss = np.nan, np.nan
@@ -293,16 +301,16 @@ class Runner:
         plt.savefig(os.path.join(self.cfg.checkpoint, "loss_3d.png"))
         plt.close("all")
 
-    def _validate(self, test_ds, key):
+    def _validate(self, val_ds, key):
         errs, losses, n = [], [], 0
-        for b in test_ds.batches(self.cfg.batch_size_eval):
+        for b in val_ds.batches(self.cfg.batch_size_eval):
             key, sub = jax.random.split(key)
             pred_norm, loss = self.val_step(
                 self.state.params, sub,
                 jnp.asarray(b.gt_3d_norm), jnp.asarray(b.input_2d),
                 jnp.asarray(b.input_2d_flip if b.input_2d_flip is not None else b.input_2d),
             )
-            pred = test_ds.reverse_norm_3d_pose(np.asarray(pred_norm))
+            pred = val_ds.reverse_norm_3d_pose(np.asarray(pred_norm))
             mask = (b.target_mask & b.row_mask[:, None]).reshape(-1)
             pred_f = pred.reshape(-1, self.num_joints, 3)[mask]
             gt_f = b.gt_3d.reshape(-1, self.num_joints, 3)[mask]

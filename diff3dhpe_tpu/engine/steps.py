@@ -56,6 +56,10 @@ def make_denoise_fn(model, remat: bool = False) -> Callable:
             return eval_fn(params, x, t)
         return train_fn(params, x, t, dropout_key)
 
+    # Explicit marker consumed by make_eval_step's shard_map auto-detection:
+    # a flax model built with use_pallas=True lowers to pallas_call, which
+    # XLA's SPMD partitioner cannot split.
+    denoise_fn.uses_pallas = bool(getattr(model, "use_pallas", False))
     return denoise_fn
 
 
@@ -84,6 +88,7 @@ def make_fast_denoise_fn(
             mode=mode, dtype=dtype,
         )
 
+    denoise_fn.uses_pallas = True
     return denoise_fn
 
 
@@ -164,26 +169,46 @@ def make_eval_step(
     mesh=None,
     repeat_n: int = 1,
     shard_map_batch: bool = None,
+    tta: bool = True,
 ):
     """Returns jitted eval_step(params, key, input_2d, input_2d_flip)
     -> predicted_3d_norm [B, F_out, J, 3] (flip-TTA averaged).
 
+    ``tta=False`` runs a single (non-doubled) sampling pass and ignores
+    input_2d_flip entirely — callers keep the same 4-arg signature. This
+    mirrors the reference's test_augmentation=False branch (run.py:577-587
+    runs the flip pass only when args.test_time_augmentation).
+
+    Sampling noise is drawn per-row keyed by the row's GLOBAL batch index,
+    so predictions are bit-identical between a single device and any mesh
+    size (see GaussianDiffusion.ddim_sample_loop).
+
     On a multi-device mesh the batch is split over the 'data' axis. When the
-    diffusion engine contains Pallas kernels (the fast-eval path), XLA's SPMD
-    partitioner cannot split the custom calls, so the per-device computation
-    is wrapped in shard_map (params replicated, batch sharded) —
-    ``shard_map_batch=None`` auto-detects by probing the denoiser for a
-    pallas_call. The batch must then divide the data-axis size.
+    diffusion engine contains Pallas kernels, XLA's SPMD partitioner cannot
+    split the custom calls, so the per-device computation is wrapped in
+    shard_map (params replicated, batch sharded) — ``shard_map_batch=None``
+    auto-detects via the ``uses_pallas`` attribute that make_denoise_fn /
+    make_fast_denoise_fn set. The batch must then divide the data-axis size.
     """
 
     jl, jr = list(joints_left), list(joints_right)
 
-    def eval_body(params, key, input_2d, input_2d_flip):
+    def eval_body(params, key, input_2d, input_2d_flip, row_offset=0, total_rows=None):
         b, f, j, _ = input_2d.shape
         f_out = f if diffusion.mode == "s2s" else 1
+        total = b if total_rows is None else total_rows
+        idx = row_offset + jnp.arange(b)
+        if not tta:
+            return diffusion.estimate_pose(
+                params, key, input_2d, (b, f_out, j, 3), repeat_n=repeat_n,
+                row_index=idx, num_rows=total,
+            )
         both = jnp.concatenate([input_2d, input_2d_flip], axis=0)
-        target_shape = (2 * b, f_out, j, 3)
-        pred = diffusion.estimate_pose(params, key, both, target_shape, repeat_n=repeat_n)
+        both_idx = jnp.concatenate([idx, total + idx])
+        pred = diffusion.estimate_pose(
+            params, key, both, (2 * b, f_out, j, 3), repeat_n=repeat_n,
+            row_index=both_idx, num_rows=2 * total,
+        )
         pred_normal, pred_flip = pred[:b], pred[b:]
         pred_flip = flip_pose_jnp(pred_flip, jl, jr)
         return (pred_normal + pred_flip) / 2.0
@@ -193,7 +218,7 @@ def make_eval_step(
         data_size = mesh.shape["data"]
 
     if mesh is None or data_size <= 1:
-        return jax.jit(eval_body)
+        return jax.jit(eval_body, static_argnames=("row_offset", "total_rows"))
 
     if shard_map_batch is None:
         shard_map_batch = _uses_pallas(diffusion)
@@ -201,17 +226,22 @@ def make_eval_step(
     from jax.sharding import PartitionSpec as P
 
     if shard_map_batch:
-        from jax.experimental.shard_map import shard_map
-
-        other_axes = tuple(a for a in mesh.axis_names if a != "data")
+        from jax import shard_map
 
         def eval_step(params, key, input_2d, input_2d_flip):
+            total = input_2d.shape[0]
+            local_b = total // data_size
+
+            def body_fn(p, x, xf):
+                offset = jax.lax.axis_index("data") * local_b
+                return eval_body(p, key, x, xf, row_offset=offset, total_rows=total)
+
             body = shard_map(
-                lambda p, x, xf: eval_body(p, key, x, xf),
+                body_fn,
                 mesh=mesh,
                 in_specs=(P(), P("data"), P("data")),
                 out_specs=P("data"),
-                check_rep=False,
+                check_vma=False,
             )
             return body(params, input_2d, input_2d_flip)
 
@@ -230,13 +260,10 @@ def make_eval_step(
 
 
 def _uses_pallas(diffusion: GaussianDiffusion) -> bool:
-    """Whether the engine's denoiser lowers to Pallas custom calls (the
-    fast-eval functional forward does; the flax module does not)."""
-    fn = diffusion.denoise_fn
-    return "fast_forward_denoise" in getattr(fn, "__qualname__", "") or (
-        getattr(fn, "__module__", "").endswith("steps")
-        and fn.__qualname__.startswith("make_fast_denoise_fn")
-    )
+    """Whether the engine's denoiser lowers to Pallas custom calls — read
+    from the explicit ``uses_pallas`` attribute stamped by make_denoise_fn
+    (flax model with use_pallas=True) and make_fast_denoise_fn (always)."""
+    return bool(getattr(diffusion.denoise_fn, "uses_pallas", False))
 
 
 def make_val_step(
@@ -245,24 +272,30 @@ def make_val_step(
     joints_right: Sequence[int],
     mesh=None,
     sample_diffusion: GaussianDiffusion = None,
+    tta: bool = True,
 ):
     """End-of-epoch validation (reference run.py:364-403): flip-TTA prediction
-    plus the averaged p_losses of both orientations. Returns jitted
+    plus the averaged p_losses of both orientations (single orientation when
+    ``tta=False``). Returns jitted
     val_step(params, key, gt_3d_norm, input_2d, input_2d_flip) ->
     (pred_norm, loss). ``sample_diffusion`` optionally provides a faster
     engine (e.g. the fused fast-eval path) for the DDIM sampling while
     p_losses stays on ``diffusion``."""
     jl, jr = list(joints_left), list(joints_right)
-    eval_step = make_eval_step(sample_diffusion or diffusion, jl, jr, mesh=mesh)
+    eval_step = make_eval_step(
+        sample_diffusion or diffusion, jl, jr, mesh=mesh, tta=tta
+    )
 
     def val_step(params, key, gt_3d_norm, input_2d, input_2d_flip):
         key_pred, key_l1, key_l2 = jax.random.split(key, 3)
         pred = eval_step(params, key_pred, input_2d, input_2d_flip)
-        gt_flip = flip_pose_jnp(gt_3d_norm, jl, jr)
-        loss = 0.5 * (
-            jnp.mean(diffusion.p_losses(params, key_l1, gt_3d_norm, input_2d))
-            + jnp.mean(diffusion.p_losses(params, key_l2, gt_flip, input_2d_flip))
-        )
+        loss = jnp.mean(diffusion.p_losses(params, key_l1, gt_3d_norm, input_2d))
+        if tta:
+            gt_flip = flip_pose_jnp(gt_3d_norm, jl, jr)
+            loss = 0.5 * (
+                loss
+                + jnp.mean(diffusion.p_losses(params, key_l2, gt_flip, input_2d_flip))
+            )
         return pred, loss
 
     return jax.jit(val_step)

@@ -1,7 +1,11 @@
 """Joint-tree topology metadata (reference: common/skeleton.py:12-90).
 
 Host-side metadata only — drives left/right flips and rendering; never
-traced by XLA.
+traced by XLA. The joint-removal semantics (rewire every parent pointer
+past removed ancestors, then renumber densely) follow the VideoPose3D
+lineage the reference inherits (CC-BY-4.0, (c) Facebook, Inc.), but are
+implemented here as vectorised numpy fix-point/cumsum passes rather than
+the original per-joint Python loops.
 """
 from __future__ import annotations
 
@@ -9,20 +13,23 @@ import numpy as np
 
 
 class Skeleton:
+    """Parent-pointer tree over joints plus left/right symmetry lists."""
+
     def __init__(self, parents, joints_left, joints_right):
         assert len(joints_left) == len(joints_right)
-        self._parents = np.array(parents)
+        self._parents = np.asarray(parents, dtype=int).copy()
         self._joints_left = joints_left
         self._joints_right = joints_right
-        self._compute_metadata()
+        self._refresh_children()
 
-    def num_joints(self):
-        return len(self._parents)
+    # -- accessors -----------------------------------------------------
+    def num_joints(self) -> int:
+        return self._parents.size
 
-    def parents(self):
+    def parents(self) -> np.ndarray:
         return self._parents
 
-    def has_children(self):
+    def has_children(self) -> np.ndarray:
         return self._has_children
 
     def children(self):
@@ -34,47 +41,47 @@ class Skeleton:
     def joints_right(self):
         return self._joints_right
 
+    # -- topology edit ---------------------------------------------------
     def remove_joints(self, joints_to_remove):
-        """Drop joints, rewiring children to the nearest kept ancestor.
+        """Drop joints, rewiring children to the nearest kept ancestor and
+        renumbering the remainder densely.
 
-        Returns the list of kept joint indices (in original numbering).
+        Returns the kept joint indices (original numbering) so callers can
+        slice their per-joint arrays the same way.
         """
-        valid_joints = [j for j in range(len(self._parents)) if j not in joints_to_remove]
+        removed = np.zeros(self.num_joints(), dtype=bool)
+        removed[list(joints_to_remove)] = True
 
-        # Rewire: walk each joint's parent pointer past removed ancestors.
-        for i in range(len(self._parents)):
-            while self._parents[i] in joints_to_remove:
-                self._parents[i] = self._parents[self._parents[i]]
+        # Fix-point: hop every parent pointer past removed ancestors until
+        # all pointers land on kept joints (or the root sentinel -1).
+        parents = self._parents.copy()
+        pending = (parents >= 0) & removed[np.maximum(parents, 0)]
+        while pending.any():
+            parents[pending] = parents[parents[pending]]
+            pending = (parents >= 0) & removed[np.maximum(parents, 0)]
 
-        # Renumber.
-        index_offsets = np.zeros(len(self._parents), dtype=int)
-        new_parents = []
-        for i, parent in enumerate(self._parents):
-            if i not in joints_to_remove:
-                new_parents.append(parent - index_offsets[parent])
-            else:
-                index_offsets[i:] += 1
-        self._parents = np.array(new_parents)
+        # Dense renumbering: old index i maps to i - (#removed <= i).
+        shift = np.cumsum(removed)
+        kept = np.flatnonzero(~removed)
+        kept_parents = parents[kept]
+        self._parents = np.where(
+            kept_parents < 0,
+            kept_parents,
+            kept_parents - shift[np.maximum(kept_parents, 0)],
+        ).astype(int)
 
-        if self._joints_left is not None:
-            self._joints_left = [
-                j - index_offsets[j] for j in self._joints_left if j in valid_joints
-            ]
-        if self._joints_right is not None:
-            self._joints_right = [
-                j - index_offsets[j] for j in self._joints_right if j in valid_joints
-            ]
+        def renumber(joints):
+            if joints is None:
+                return None
+            return [int(j - shift[j]) for j in joints if not removed[j]]
 
-        self._compute_metadata()
-        return valid_joints
+        self._joints_left = renumber(self._joints_left)
+        self._joints_right = renumber(self._joints_right)
+        self._refresh_children()
+        return kept.tolist()
 
-    def _compute_metadata(self):
-        self._has_children = np.zeros(len(self._parents)).astype(bool)
-        for i, parent in enumerate(self._parents):
-            if parent != -1:
-                self._has_children[parent] = True
-
-        self._children = [[] for _ in self._parents]
-        for i, parent in enumerate(self._parents):
-            if parent != -1:
-                self._children[parent].append(i)
+    def _refresh_children(self):
+        p = self._parents
+        self._has_children = np.zeros(p.size, dtype=bool)
+        self._has_children[p[p >= 0]] = True
+        self._children = [np.flatnonzero(p == i).tolist() for i in range(p.size)]

@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from diff3dhpe_tpu.models.mixste import sinusoidal_pos_emb
-from diff3dhpe_tpu.ops.fused_block import fused_transformer_block
+from diff3dhpe_tpu.ops.fused_block import (
+    fused_temporal_block_cols,
+    fused_transformer_block,
+)
 
 
 def _dense(params, x):
@@ -36,22 +39,6 @@ def _layernorm(params, x, eps):
     return out.astype(x.dtype)
 
 
-def _block(block, x_flat, n, heads, time_emb, dtype, interpret, out_ln=None):
-    """One transformer block on flat tokens [B, L, C] (groups of n rows):
-    a single fused kernel for attention + MLP residuals, with the model's
-    inter-block LayerNorm fused into the epilogue."""
-    b, l, c = x_flat.shape
-    if time_emb is not None and "time_proj" in block:
-        t = _dense(block["time_proj"], jax.nn.silu(time_emb).astype(dtype))
-        x_flat = x_flat + t[:, None, :].astype(x_flat.dtype)
-
-    rows = x_flat.reshape(b * l, c)
-    rows = fused_transformer_block(
-        rows, block, n=n, heads=heads, interpret=interpret, out_ln_params=out_ln
-    )
-    return rows.reshape(b, l, c)
-
-
 def fast_forward_denoise(
     params: dict,
     x,
@@ -66,45 +53,71 @@ def fast_forward_denoise(
     dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ):
-    """forward_denoise(x [B, F, J, Cin+3], time [B]) -> [B, F_out, J, 3]."""
+    """forward_denoise(x [B, F, J, Cin+3], time [B]) -> [B, F_out, J, 3].
+
+    Round-2 layout: ONE spatial-major activation buffer for the whole trunk.
+    Frames are padded to a multiple of 8 once in the prologue ([B, F8, J, C],
+    pad frames carry garbage that never leaks: spatial pad-groups attend
+    among themselves, temporal kernels mask keys >= F). Spatial blocks run
+    on the flat [B*F8*J, C] view; temporal blocks read the SAME buffer
+    through a column-strided BlockSpec ([B*F8, J*C] view, one (b, j) group
+    per grid step) — no transposes or pad/unpad passes between blocks. The
+    per-block diffusion-time add is fused into each kernel's load, so an
+    entire depth-8 trunk touches HBM exactly once per block.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, f, p, _ = x.shape
-    l = f * p
     c = params["fusion_layer"]["kernel"].shape[-1]
 
-    x = _dense(params["fusion_layer"], x.astype(dtype))
+    x = _dense(params["fusion_layer"], x.astype(dtype))  # [B, F, J, C]
 
     if with_time_emb:
         t = sinusoidal_pos_emb(time, c)
         t = _dense(params["time_mlp_1"], t.astype(dtype))
         t = jax.nn.gelu(t, approximate=False)
-        t = _dense(params["time_mlp_2"], t)
+        t = _dense(params["time_mlp_2"], t)  # [B, C]
     else:
         t = None
 
-    x = x.reshape(b, l, c)  # frame-major, joint-minor tokens
+    # Positional embeddings enter before the respective first blocks
+    # (spatial before ste_0; temporal between ste_0 and tte_0 — see below).
+    x = x + params["spatial_pos_embed"][0][None, None].astype(x.dtype)
 
-    def to_temporal(y):
-        return jnp.transpose(y.reshape(b, f, p, c), (0, 2, 1, 3)).reshape(b, l, c)
-
-    def to_spatial(y):
-        return jnp.transpose(y.reshape(b, p, f, c), (0, 2, 1, 3)).reshape(b, l, c)
+    f8 = ((f + 7) // 8) * 8
+    if f8 != f:
+        x = jnp.pad(x, ((0, 0), (0, f8 - f), (0, 0), (0, 0)))
+    rows_item = f8 * p
+    x_flat = x.reshape(b * rows_item, c)
 
     for i in range(depth):
+        block_s = params[f"ste_block_{i}"]
+        block_t = params[f"tte_block_{i}"]
+        t_i = None
+        if t is not None and "time_proj" in block_s:
+            t_i = _dense(block_s["time_proj"], jax.nn.silu(t).astype(dtype))
+        x_flat = fused_transformer_block(
+            x_flat, block_s, n=p, heads=num_heads, interpret=interpret,
+            out_ln_params=params["spatial_norm"], t_rows=t_i,
+            rows_per_item=rows_item,
+        )
         if i == 0:
-            x = x + jnp.tile(params["spatial_pos_embed"][0], (f, 1)).astype(x.dtype)
-        x = _block(params[f"ste_block_{i}"], x, p, num_heads, t, dtype, interpret,
-                   out_ln=params["spatial_norm"])
+            x4 = x_flat.reshape(b, f8, p, c)
+            x4 = x4.at[:, :f].add(
+                params["temporal_pos_embed"][0][None, :, None].astype(x4.dtype)
+            )
+            x_flat = x4.reshape(b * rows_item, c)
+        t_i = None
+        if t is not None and "time_proj" in block_t:
+            t_i = _dense(block_t["time_proj"], jax.nn.silu(t).astype(dtype))
+        x_cols = fused_temporal_block_cols(
+            x_flat.reshape(b * f8, p * c), block_t, n=f, f8=f8, j_groups=p,
+            heads=num_heads, interpret=interpret, t_rows=t_i,
+            out_ln_params=params["temporal_norm"],
+        )
+        x_flat = x_cols.reshape(b * rows_item, c)
 
-        x = to_temporal(x)
-        if i == 0:
-            x = x + jnp.tile(params["temporal_pos_embed"][0], (p, 1)).astype(x.dtype)
-        x = _block(params[f"tte_block_{i}"], x, f, num_heads, t, dtype, interpret,
-                   out_ln=params["temporal_norm"])
-        x = to_spatial(x)
-
-    x = x.reshape(b, f, p, c)
+    x = x_flat.reshape(b, f8, p, c)[:, :f]
     if mode == "s2f":
         w = params["weighted_mean_kernel"].astype(x.dtype)
         wb = params["weighted_mean_bias"].astype(x.dtype)

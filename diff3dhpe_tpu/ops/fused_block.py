@@ -118,18 +118,42 @@ def _fused_attn_block_kernel(
 
 
 def _fused_full_block_kernel(
-    x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    x_ref, t_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     oln_s_ref, oln_b_ref, o_ref,
-    *, n, n8, heads, scale, tile_rows, tiles, out_ln,
+    *, n, n8, heads, scale, tile_rows, tiles, out_ln, has_t, rows_per_item,
 ):
     """Whole transformer block per tile: attention residual + MLP residual,
     optionally followed by the model's inter-block LayerNorm (the
     Spatial_norm/Temporal_norm applied after every block, reference
-    ST_foward:236,245) fused into the output write."""
+    ST_foward:236,245) fused into the output write.
+
+    ``has_t``: the per-block diffusion-time embedding add (x += t[batch]) is
+    fused into the load — t_ref is the [B, C] per-batch embedding and each
+    row selects its batch row via a one-hot matmul on row_index //
+    rows_per_item (padding rows map past B and get zero). This removes one
+    full HBM round trip per block that XLA cannot fuse into a custom call.
+    """
+    import jax.experimental.pallas as pl
+
     c = x_ref.shape[-1]
     d = c // heads
     p = tile_rows // n8
+    row0 = pl.program_id(0) * (tile_rows * tiles)
+
+    def time_rows(first_row, rows):
+        """(rows, C) f32: t_ref[batch_of_row], zeros for out-of-range rows."""
+        b = t_ref.shape[0]
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0) + first_row
+        bidx = r // rows_per_item
+        onehot = (
+            bidx == jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
+        ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            onehot, t_ref[...].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     # Groups occupy n8 >= n rows per tile (n8 > n when groups were padded to
     # an 8-row multiple); mask keeps softmax within each group's REAL rows.
@@ -199,6 +223,10 @@ def _fused_full_block_kernel(
         # Hoist the step-wide GEMMs (one M=step_rows MXU call each, less
         # M-padding waste); only the attention runs per 128-row tile.
         xs_all = x_ref[...]
+        if has_t:
+            xs_all = (
+                xs_all.astype(jnp.float32) + time_rows(row0, step_rows)
+            ).astype(xs_all.dtype)
         xn_all = _layernorm_rows(xs_all, ln_s, ln_b).astype(xs_all.dtype)
         qkv_all = (dot(xn_all, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs_all.dtype)
         attn_out = jnp.concatenate(
@@ -212,6 +240,10 @@ def _fused_full_block_kernel(
         for t in range(tiles):
             rows = slice(t * tile_rows, (t + 1) * tile_rows)
             xs = x_ref[rows, :]
+            if has_t:
+                xs = (
+                    xs.astype(jnp.float32) + time_rows(row0 + t * tile_rows, tile_rows)
+                ).astype(xs.dtype)
             xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
             qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
             attn_out = attend_tile(qkv).astype(xs.dtype)
@@ -221,6 +253,7 @@ def _fused_full_block_kernel(
 def fused_transformer_block(
     x, block_params: dict, n: int, heads: int, scale=None, interpret=None,
     tiles_per_step: int = 8, out_ln_params: dict = None,
+    t_rows=None, rows_per_item: int = None,
 ):
     """Whole transformer block (attention residual + MLP residual) fused.
 
@@ -228,7 +261,8 @@ def fused_transformer_block(
     is one ste/tte block's param subtree (norm1/attn/norm2/mlp).
     ``out_ln_params`` optionally fuses the model's inter-block LayerNorm
     (scale/bias dict) into the output write, saving one HBM round trip per
-    block."""
+    block. ``t_rows`` [B, C] optionally fuses the per-block diffusion-time
+    embedding add (row i of x belongs to batch i // rows_per_item)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -252,8 +286,17 @@ def fused_transformer_block(
         g = r // n
         x = jnp.pad(x.reshape(g, n, c), ((0, 0), (0, n8 - n), (0, 0))).reshape(g * n8, c)
         r_pad = g * n8
+        if rows_per_item is not None:
+            assert rows_per_item % n == 0
+            rows_per_item = (rows_per_item // n) * n8
     else:
         r_pad = r
+
+    has_t = t_rows is not None
+    if not has_t:
+        t_rows = jnp.zeros((1, c), x.dtype)
+        rows_per_item = r_pad if rows_per_item is None else rows_per_item
+    assert rows_per_item is not None
 
     p = max(1, 128 // n8) if n8 <= 64 else 1
     tile_rows = p * n8
@@ -273,6 +316,12 @@ def fused_transformer_block(
     mlp = block_params["mlp"]
     hidden = mlp["fc1"]["kernel"].shape[-1]
 
+    def bias_of(layer, size):
+        """Layer bias, or zeros when the layer was built without one
+        (e.g. MixSTEDenoiser(qkv_bias=False))."""
+        b = layer.get("bias")
+        return jnp.zeros((size,), x.dtype) if b is None else b
+
     out_ln = out_ln_params is not None
     if out_ln:
         oln_s = out_ln_params["scale"].reshape(1, c)
@@ -288,10 +337,12 @@ def fused_transformer_block(
         functools.partial(
             _fused_full_block_kernel, n=n, n8=n8, heads=heads, scale=scale,
             tile_rows=tile_rows, tiles=tiles, out_ln=out_ln,
+            has_t=has_t, rows_per_item=rows_per_item,
         ),
         grid=(r2 // step_rows,),
         in_specs=[
             row_spec,
+            full(*t_rows.shape),
             full(1, c), full(1, c),
             full(c, 3 * c), full(1, 3 * c),
             full(c, c), full(1, c),
@@ -310,14 +361,19 @@ def fused_transformer_block(
         interpret=interpret,
     )(
         x_p,
+        t_rows.astype(x.dtype),
         block_params["norm1"]["scale"].reshape(1, c),
         block_params["norm1"]["bias"].reshape(1, c),
-        attn["qkv"]["kernel"].astype(x.dtype), attn["qkv"]["bias"].reshape(1, 3 * c),
-        attn["proj"]["kernel"].astype(x.dtype), attn["proj"]["bias"].reshape(1, c),
+        attn["qkv"]["kernel"].astype(x.dtype),
+        bias_of(attn["qkv"], 3 * c).reshape(1, 3 * c),
+        attn["proj"]["kernel"].astype(x.dtype),
+        bias_of(attn["proj"], c).reshape(1, c),
         block_params["norm2"]["scale"].reshape(1, c),
         block_params["norm2"]["bias"].reshape(1, c),
-        mlp["fc1"]["kernel"].astype(x.dtype), mlp["fc1"]["bias"].reshape(1, hidden),
-        mlp["fc2"]["kernel"].astype(x.dtype), mlp["fc2"]["bias"].reshape(1, c),
+        mlp["fc1"]["kernel"].astype(x.dtype),
+        bias_of(mlp["fc1"], hidden).reshape(1, hidden),
+        mlp["fc2"]["kernel"].astype(x.dtype),
+        bias_of(mlp["fc2"], c).reshape(1, c),
         oln_s, oln_b,
     )
     out = out[:r_pad] if r2 != r_pad else out
@@ -386,3 +442,194 @@ def fused_attention_block(
         w_proj, b_proj.reshape(1, c),
     )
     return out[:r] if r2 != r else out
+
+
+def _fused_temporal_group_kernel(
+    x_ref, t_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    oln_s_ref, oln_b_ref, o_ref,
+    *, n, heads, scale, out_ln, has_t, j_groups,
+):
+    """Whole transformer block on ONE temporal attention group (F8, C).
+
+    The group arrives via a column-strided BlockSpec straight from the
+    spatial-major activation buffer — no transpose, no pre-padding pass.
+    Rows n..F8-1 are frame padding: masked out of the softmax as keys; their
+    outputs are garbage and sliced off by the caller's epilogue.
+    """
+    c = x_ref.shape[-1]
+    d = c // heads
+    f8 = x_ref.shape[0]
+
+    xs = x_ref[...]
+    if has_t:
+        # t_ref is the full [B, C] table (Mosaic forbids 1-sublane blocks);
+        # select this group's batch row with a one-hot matmul on
+        # program_id // j_groups.
+        import jax.experimental.pallas as pl
+
+        bsz = t_ref.shape[0]
+        bidx = pl.program_id(0) // j_groups
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, bsz), 1) == bidx
+        ).astype(jnp.float32)
+        t_vec = jax.lax.dot_general(
+            onehot, t_ref[...].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xs = (xs.astype(jnp.float32) + t_vec).astype(xs.dtype)
+
+    mask = None
+    if f8 != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (f8, f8), 1)
+        mask = jnp.where(col < n, 0.0, -1e30).astype(jnp.float32)
+
+    ln_s = ln_s_ref[...].reshape(c)
+    ln_b = ln_b_ref[...].reshape(c)
+    bqkv = bqkv_ref[...].reshape(3 * c)
+    bproj = bproj_ref[...].reshape(c)
+    ln2_s = ln2_s_ref[...].reshape(c)
+    ln2_b = ln2_b_ref[...].reshape(c)
+    hidden = w1_ref.shape[-1]
+    b1 = b1_ref[...].reshape(hidden)
+    b2 = b2_ref[...].reshape(c)
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
+    qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
+
+    head_outs = []
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d: c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if mask is not None:
+            logits = logits + mask
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        av = dot(probs.astype(v.dtype), v)
+        head_outs.append(av - v.astype(jnp.float32))
+    attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
+
+    h1 = xs.astype(jnp.float32) + dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
+    h1 = h1.astype(xs.dtype)
+    hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(xs.dtype)
+    mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
+    mid = _gelu_exact(mid).astype(xs.dtype)
+    out = h1.astype(jnp.float32) + dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+    if out_ln:
+        oln_s = oln_s_ref[...].reshape(c)
+        oln_b = oln_b_ref[...].reshape(c)
+        out = _layernorm_rows(out.astype(xs.dtype), oln_s, oln_b)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_temporal_block_cols(
+    x, block_params: dict, n: int, f8: int, j_groups: int, heads: int,
+    scale=None, interpret=None, t_rows=None, out_ln_params: dict = None,
+):
+    """Temporal transformer block over spatial-major activations, transposed
+    IN THE BLOCKSPEC instead of in HBM.
+
+    x: [B*F8, J*C] — the same buffer the spatial kernels produce, viewed
+    2-D. The temporal attention group of (batch b, joint j) is the column
+    slice x[b*F8:(b+1)*F8, j*C:(j+1)*C]; the grid runs one group per step
+    and the DMA engine performs the strided gather, eliminating the
+    [B,F,J,C]->[B,J,F,C] transpose + frame-pad round trips the round-1 path
+    paid per block. n = real frame count (rows n..F8-1 are padding).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    rows, cols = x.shape
+    c = cols // j_groups
+    b = rows // f8
+    d = c // heads
+    if scale is None:
+        scale = d ** -0.5
+
+    attn = block_params["attn"]
+    mlp = block_params["mlp"]
+    hidden = mlp["fc1"]["kernel"].shape[-1]
+
+    def bias_of(layer, size):
+        bias = layer.get("bias")
+        return jnp.zeros((size,), x.dtype) if bias is None else bias
+
+    out_ln = out_ln_params is not None
+    if out_ln:
+        oln_s = out_ln_params["scale"].reshape(1, c)
+        oln_b = out_ln_params["bias"].reshape(1, c)
+    else:
+        oln_s = jnp.zeros((1, c), x.dtype)
+        oln_b = jnp.zeros((1, c), x.dtype)
+
+    has_t = t_rows is not None
+    if not has_t:
+        t_rows = jnp.zeros((1, c), x.dtype)
+
+    group_spec = pl.BlockSpec(
+        (f8, c), lambda i: (i // j_groups, i % j_groups), memory_space=pltpu.VMEM
+    )
+    full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    t_spec = full(*t_rows.shape)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_temporal_group_kernel, n=n, heads=heads, scale=scale,
+            out_ln=out_ln, has_t=has_t, j_groups=j_groups,
+        ),
+        grid=(b * j_groups,),
+        in_specs=[
+            group_spec,
+            t_spec,
+            full(1, c), full(1, c),
+            full(c, 3 * c), full(1, 3 * c),
+            full(c, c), full(1, c),
+            full(1, c), full(1, c),
+            full(c, hidden), full(1, hidden),
+            full(hidden, c), full(1, c),
+            full(1, c), full(1, c),
+        ],
+        out_specs=group_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * cols * (3 * c + c + 2 * hidden) // c
+            + 2 * 2 * rows * n * cols // c * c,
+            bytes_accessed=2 * rows * cols * x.dtype.itemsize,
+            transcendentals=rows * (n + hidden),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        t_rows.astype(x.dtype),
+        block_params["norm1"]["scale"].reshape(1, c),
+        block_params["norm1"]["bias"].reshape(1, c),
+        attn["qkv"]["kernel"].astype(x.dtype),
+        bias_of(attn["qkv"], 3 * c).reshape(1, 3 * c),
+        attn["proj"]["kernel"].astype(x.dtype),
+        bias_of(attn["proj"], c).reshape(1, c),
+        block_params["norm2"]["scale"].reshape(1, c),
+        block_params["norm2"]["bias"].reshape(1, c),
+        mlp["fc1"]["kernel"].astype(x.dtype),
+        bias_of(mlp["fc1"], hidden).reshape(1, hidden),
+        mlp["fc2"]["kernel"].astype(x.dtype),
+        bias_of(mlp["fc2"], c).reshape(1, c),
+        oln_s.astype(x.dtype), oln_b.astype(x.dtype),
+    )
+    return out

@@ -230,3 +230,181 @@ def render_3d_figs(
     fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def read_video(path: str, limit: Optional[int] = None, skip: int = 0) -> np.ndarray:
+    """Decode video frames to [T, H, W, 3] uint8.
+
+    Equivalent of the reference's ffmpeg-pipe reader (visualization_ani.py
+    read_video:44-63) for an image without ffmpeg: accepts a directory of
+    image frames (sorted by name), an animated GIF (Pillow), or — when an
+    imageio plugin that can handle the container is installed — any
+    imageio-readable file.
+    """
+    import os
+
+    frames = []
+
+    def push(img) -> bool:
+        frames.append(np.asarray(img, dtype=np.uint8))
+        return limit is not None and len(frames) >= limit
+
+    if os.path.isdir(path):
+        from PIL import Image
+
+        names = sorted(
+            f for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+        )
+        for name in names[skip:]:
+            with Image.open(os.path.join(path, name)) as im:
+                if push(im.convert("RGB")):
+                    break
+    elif path.lower().endswith(".gif"):
+        from PIL import Image, ImageSequence
+
+        with Image.open(path) as im:
+            for i, frame in enumerate(ImageSequence.Iterator(im)):
+                if i < skip:
+                    continue
+                if push(frame.convert("RGB")):
+                    break
+    else:
+        import imageio.v3 as iio  # may lack an ffmpeg plugin for mp4
+
+        for i, frame in enumerate(iio.imiter(path)):
+            if i < skip:
+                continue
+            if push(frame[..., :3]):
+                break
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
+def render_video_overlay(
+    frames: np.ndarray,
+    keypoints: np.ndarray,
+    parents: Sequence[int],
+    joints_right: Sequence[int],
+    out_path: str,
+    prediction: Optional[np.ndarray] = None,
+    gt: Optional[np.ndarray] = None,
+    fps: int = 25,
+    radius: float = 1.7,
+    azim: float = 70.0,
+):
+    """Pose-over-footage animation (reference render_animation:71-228).
+
+    Left panel: the video frame with the 2D skeleton drawn over it
+    (``keypoints`` [F, J, 2] in pixel coordinates). Optional 3D panels for
+    the ground truth and for the reconstruction; ``prediction`` may be
+    [F, J, 3] (one panel) or [H, F, J, 3] (one panel per hypothesis — the
+    reference's `-b 4` multi-hypothesis flow, README:79).
+    """
+    plt = _import_mpl()
+    from matplotlib.animation import FuncAnimation
+
+    n_frames = min(frames.shape[0], keypoints.shape[0])
+    preds = None
+    if prediction is not None:
+        preds = prediction if prediction.ndim == 4 else prediction[None]
+        n_frames = min(n_frames, preds.shape[1])
+    if gt is not None:
+        n_frames = min(n_frames, gt.shape[0])
+
+    panels_3d = ([] if gt is None else [("Ground truth", gt)]) + (
+        []
+        if preds is None
+        else [
+            (f"Hypothesis {h + 1}" if preds.shape[0] > 1 else "Reconstruction", preds[h])
+            for h in range(preds.shape[0])
+        ]
+    )
+    n_panels = 1 + len(panels_3d)
+
+    fig = plt.figure(figsize=(4 * n_panels, 4))
+    ax_vid = fig.add_subplot(1, n_panels, 1)
+    ax_vid.axis("off")
+    ax_vid.set_title("Input")
+    im = ax_vid.imshow(frames[0])
+    axes_3d = []
+    for i, (title, _) in enumerate(panels_3d):
+        ax = fig.add_subplot(1, n_panels, i + 2, projection="3d")
+        _setup_3d_axis(ax, radius, title)
+        ax.view_init(elev=15.0, azim=azim)
+        axes_3d.append(ax)
+
+    state = {"artists": []}
+
+    def update(i):
+        for a in state["artists"]:
+            a.remove()
+        state["artists"] = []
+        im.set_data(frames[i])
+        state["artists"] += _skeleton_lines(
+            ax_vid, keypoints[i], parents, joints_right, dim=2, colors=("yellow", "red")
+        )
+        for ax, (title, data) in zip(axes_3d, panels_3d):
+            pose = data[i] - data[i, :1] + np.array([0, 0, radius / 2])
+            state["artists"] += _skeleton_lines(ax, pose, parents, joints_right, dim=3)
+            if gt is not None and title != "Ground truth":
+                err = np.mean(np.linalg.norm(data[i] - gt[i], axis=-1)) * 1000
+                ax.set_title(f"{title} ({err:.1f} mm)")
+        return state["artists"]
+
+    anim = FuncAnimation(fig, update, frames=n_frames, interval=1000 / fps, blit=False)
+    anim.save(out_path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return out_path
+
+
+def render_hypotheses_animation(
+    gt: Optional[np.ndarray],
+    hypotheses: np.ndarray,
+    parents: Sequence[int],
+    joints_right: Sequence[int],
+    out_path: str,
+    fps: int = 25,
+    limit: Optional[int] = None,
+    radius: float = 1.7,
+    azim: float = 70.0,
+):
+    """Multi-hypothesis 3D animation: one panel per hypothesis [H, F, J, 3]
+    plus their mean, each with per-frame MPJPE vs GT when given."""
+    plt = _import_mpl()
+    from matplotlib.animation import FuncAnimation
+
+    h, f = hypotheses.shape[:2]
+    frames = f if limit is None else min(limit, f)
+    panels = [(f"Hypothesis {i + 1}", hypotheses[i]) for i in range(h)]
+    panels.append(("Mean", hypotheses.mean(axis=0)))
+    if gt is not None:
+        panels.insert(0, ("Ground truth", gt))
+
+    fig = plt.figure(figsize=(3 * len(panels), 3))
+    axes = []
+    for i, (title, _) in enumerate(panels):
+        ax = fig.add_subplot(1, len(panels), i + 1, projection="3d")
+        _setup_3d_axis(ax, radius, title)
+        ax.view_init(elev=15.0, azim=azim)
+        axes.append(ax)
+
+    state = {"artists": []}
+
+    def update(i):
+        for a in state["artists"]:
+            a.remove()
+        state["artists"] = []
+        for ax, (title, data) in zip(axes, panels):
+            pose = data[i] - data[i, :1] + np.array([0, 0, radius / 2])
+            state["artists"] += _skeleton_lines(ax, pose, parents, joints_right, dim=3)
+            if gt is not None and title != "Ground truth":
+                err = np.mean(np.linalg.norm(data[i] - gt[i], axis=-1)) * 1000
+                ax.set_title(f"{title} ({err:.1f} mm)")
+        return state["artists"]
+
+    anim = FuncAnimation(fig, update, frames=frames, interval=1000 / fps, blit=False)
+    anim.save(out_path, writer="pillow", fps=fps)
+    plt.close(fig)
+    return out_path

@@ -93,3 +93,46 @@ def test_resume_roundtrip(tmp_path):
     resumed = [a for a in args]
     resumed[resumed.index("-e") + 1] = "2"
     main(resumed + ["--resume", "epoch_0"])
+
+
+def test_run_humaneva_train_eval(tmp_path):
+    """The HumanEva path must run end-to-end: per-subject extrinsics carry
+    through world->camera (the reference's HumanEva path crashes — SURVEY.md
+    2.1 #14 — and round 1's lacked extrinsics entirely)."""
+    from diff3dhpe_tpu.cli.run import main
+
+    errors = main(
+        ["--dataset", "humaneva15", "-c", str(tmp_path),
+         "-str", "Train/S1", "-ste", "Validate/S1"] + ARGS_COMMON
+    )
+    assert errors["e1"] and np.isfinite(errors["e1"][0])
+
+
+def test_viz_video_overlay_and_hypotheses(tmp_path):
+    """--viz-video overlays poses on footage frames; repeat_n>1 renders a
+    multi-hypothesis animation (reference visualization_ani.py:44-63,71-228
+    and the README `-b 4` flow)."""
+    from PIL import Image
+
+    from diff3dhpe_tpu.cli.viz import main
+
+    # Tiny synthetic footage GIF standing in for real video (no ffmpeg in
+    # the image; read_video handles GIFs and frame directories).
+    rng = np.random.default_rng(0)
+    frames = [
+        Image.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+        for _ in range(8)
+    ]
+    video = tmp_path / "footage.gif"
+    frames[0].save(video, save_all=True, append_images=frames[1:], duration=40)
+
+    out_dir = str(tmp_path / "viz")
+    main(["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+          "-str", "S1", "-ste", "S9",
+          "--viz-output", out_dir, "--viz-limit", "6", "--viz-chain-samples", "4",
+          "--viz-video", str(video), "--repeat_n", "2",
+          "--synthetic", "-frame", "9", "-s", "9", "--embed_dim", "32",
+          "--transformer_depth", "1", "--timesteps", "20", "--sampling_timesteps", "3",
+          "--batch-size-eval", "16"])
+    produced = set(os.listdir(out_dir))
+    assert {"video_overlay.gif", "hypotheses_3d.gif"} <= produced

@@ -121,3 +121,31 @@ def test_multi_hypothesis_eval_step():
     var_single = float(np.mean((np.asarray(single) - np.asarray(single2)) ** 2))
     var_multi = float(np.mean((np.asarray(multi) - np.asarray(multi2)) ** 2))
     assert var_multi < var_single
+
+
+def test_val_split_uses_train_subjects_without_augmentation():
+    """'val' split (reference run.py:278-284, load_noisy_data.py:95-107):
+    train subjects, no flip augmentation in the chunk index, flip-TTA copies
+    present for the per-epoch validation pass, and its own noise knobs."""
+    cfg = Config(
+        stride=9, number_of_frames=9, subjects_train="S1", subjects_test="S9",
+        data_augmentation=True, test_time_augmentation=True,
+    )
+    dataset, kp = make_synthetic_h36m_like(subjects=("S1", "S9"), n_frames=30, seed=0)
+    train = PoseDataset(cfg, dataset, "data", "train", keypoints_data=kp)
+    val = PoseDataset(
+        cfg, dataset, "data", "val", noise_std=0.05, keypoints_data=kp
+    )
+    test = PoseDataset(cfg, dataset, "data", "test", keypoints_data=kp)
+
+    assert {k[0] for k in val.poses_2d} == {"S1"}
+    assert {k[0] for k in test.poses_2d} == {"S9"}
+    # train has flip-augmented chunk pairs; val does not
+    assert any(p.flip for p in train.pairs)
+    assert not any(p.flip for p in val.pairs)
+    # val items carry the flip-TTA copy (train items don't)...
+    assert "input_2d_flip" in val.get_item(0)
+    assert "input_2d_flip" not in train.get_item(0)
+    # ...and the val-specific corruption knob is applied
+    clean_val = PoseDataset(cfg, dataset, "data", "val", keypoints_data=kp)
+    assert not np.allclose(val.get_item(0)["input_2d"], clean_val.get_item(0)["input_2d"])

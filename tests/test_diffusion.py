@@ -75,11 +75,15 @@ def test_ddim_loop_matches_python_reference(eta, clip):
 
     ours = eng.ddim_sample_loop(None, key, cond, target_shape)
 
-    # Python replication with the same key-splitting discipline.
+    # Python replication with the same key discipline: per-row draws from
+    # fold_in(key, row_index) so results are mesh-sharding-invariant.
     c = eng.constants
+    row_shape = target_shape[1:]
     key_init, key_steps = jax.random.split(key)
-    x = jax.random.normal(key_init, target_shape, jnp.float32)
-    step_keys = jax.random.split(key_steps, S)
+    x = jnp.stack([
+        jax.random.normal(jax.random.fold_in(key_init, i), row_shape, jnp.float32)
+        for i in range(b)
+    ])
     pairs = ddim_time_pairs(T, S)
     model = LinearToyModel()
     for i, (t, t_next) in enumerate(pairs):
@@ -95,7 +99,13 @@ def test_ddim_loop_matches_python_reference(eta, clip):
         sqrt_om = float(c.sqrt_one_minus_alphas_cumprod[t])
         sigma = eta * np.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
         coef = np.sqrt(1 - alpha_next - sigma ** 2)
-        noise = jax.random.normal(step_keys[i], x.shape, x.dtype)
+        noise = jnp.stack([
+            jax.random.normal(
+                jax.random.fold_in(jax.random.fold_in(key_steps, i), r),
+                row_shape, x.dtype,
+            )
+            for r in range(b)
+        ])
         # NOTE: the reference multiplies x_start by alpha (NOT sqrt(alpha))
         # in the eps-extraction term (reference :296); we reproduce that.
         x = (
@@ -115,6 +125,22 @@ def test_ddim_deterministic_given_key():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = eng.ddim_sample_loop(None, jax.random.PRNGKey(1), cond, (1, 4, 17, 3))
     assert not np.allclose(a, c)
+
+
+def test_per_row_noise_distinct_and_row_index_consistent():
+    """x_T is drawn per row from fold_in(key, row_index): identical
+    conditioning rows get distinct noise, and sampling a sub-batch with its
+    global row indices bit-matches the corresponding rows of the full run
+    (the property that makes mesh-sharded eval invariant to mesh size)."""
+    eng = make_engine()
+    key = jax.random.PRNGKey(5)
+    cond = jnp.zeros((4, 4, 17, 2))
+    full = eng.ddim_sample_loop(None, key, cond, (4, 4, 17, 3))
+    assert not np.allclose(np.asarray(full[0]), np.asarray(full[1]))
+    part = eng.ddim_sample_loop(
+        None, key, cond[2:], (2, 4, 17, 3), row_index=jnp.arange(2, 4)
+    )
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(full[2:]))
 
 
 def test_p_losses_formula(rng):

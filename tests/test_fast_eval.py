@@ -49,3 +49,25 @@ def test_fast_eval_bf16_close(rng):
     )
     scale = np.abs(f32).max()
     assert np.abs(bf16 - f32).max() / scale < 5e-2
+
+
+def test_fast_eval_qkv_bias_false(rng):
+    """A model built with qkv_bias=False must work on the fused path
+    (missing bias params substitute zeros)."""
+    F, J, C, depth = 9, 17, 64, 1
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=depth,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=False, drop_path_rate=0.0,
+        with_time_emb=True, mode="s2s",
+    )
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    expected = np.asarray(model.apply({"params": params}, x, t, deterministic=True))
+    out = np.asarray(
+        fast_forward_denoise(
+            params, x, t, num_frame=F, num_joints=J, depth=depth, num_heads=8,
+            with_time_emb=True, mode="s2s", dtype=jnp.float32, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)

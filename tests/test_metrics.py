@@ -147,3 +147,41 @@ def test_profiling_utilities():
     f = flops_of(lambda x, y: x @ y, jnp.zeros((8, 16)), jnp.zeros((16, 4)))
     if f is not None:  # backend-dependent availability
         assert f > 0
+
+
+def test_pck_auc_golden_fixture():
+    """Hand-computed golden values pinning the MATLAB-evaluator semantics
+    (threshold protocol referenced at run_3dhp.py:631-632): inclusive
+    threshold edge, equal weighting over (valid frame, joint) pairs, AUC =
+    mean PCK over thresholds 0,5,...,150 (31 points)."""
+    # 3 frames x 2 joints with exact distances:
+    #   frame0: [0, 150]       both count at threshold 150 (inclusive edge)
+    #   frame1: [150.1, 75]    first misses, second hits
+    #   frame2: [1000, 1000]   masked out as an invalid frame
+    target = np.zeros((3, 2, 3))
+    pred = np.zeros((3, 2, 3))
+    pred[0, 1, 0] = 150.0
+    pred[1, 0, 0] = 150.1
+    pred[1, 1, 0] = 75.0
+    pred[2, :, 0] = 1000.0
+    mask = np.array([True, True, False])
+
+    # valid (frame, joint) hits at 150mm: {(0,0), (0,1), (1,1)} of 4 -> 75%
+    assert pck(pred, target, valid_mask=mask) == pytest.approx(75.0)
+    # without the mask frame2 contributes two misses -> 3/6 = 50%
+    assert pck(pred, target) == pytest.approx(50.0)
+
+    # AUC, single joint at exactly 50mm: hit for thresholds 50..150
+    # -> 21 of the 31 thresholds -> 100 * 21/31.
+    t1 = np.zeros((1, 1, 3))
+    p1 = np.zeros((1, 1, 3))
+    p1[0, 0, 0] = 50.0
+    assert auc(p1, t1) == pytest.approx(100.0 * 21.0 / 31.0)
+
+    # AUC golden for the fixture above (masked): per-threshold hit counts
+    # over the 4 valid pairs, computed by hand from distances {0,150,150.1,75}.
+    dists = np.array([0.0, 150.0, 150.1, 75.0])
+    expected = 100.0 * np.mean(
+        [(dists <= th).mean() for th in np.arange(0, 151, 5)]
+    )
+    assert auc(pred, target, valid_mask=mask) == pytest.approx(expected)
