@@ -25,7 +25,7 @@ import time
 # B=4 (8 rows with flip doubling) measured fastest per-seq with the fused
 # kernels on v5e: 20.6 seq/s vs 18.1 (B=8) / 15.2 (B=16) / 19.8 (B=2).
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
-DDIM_STEPS = 9
+DDIM_STEPS = int(os.environ.get("BENCH_DDIM", "9"))
 FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
 # bf16 activations (f32 params + f32 schedule math) measured 1.5x over f32
 # on v5e; set BENCH_DTYPE=float32 for the full-precision parity path.
@@ -33,6 +33,11 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 # Fused-kernel inference forward (models/fast_eval.py); 1.27x on v5e.
 FAST = os.environ.get("BENCH_FAST", "1") == "1"
+# Temporal-block layout inside the fused forward: "rows" (XLA transpose +
+# multi-group hoisted-GEMM kernel) or "cols" (column-strided BlockSpec).
+TMODE = os.environ.get("BENCH_TMODE", "rows")
+# In-kernel per-block diffusion-time add (0 = XLA add between kernels).
+FUSET = os.environ.get("BENCH_FUSET", "1") == "1"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
@@ -59,6 +64,7 @@ def measure_tpu() -> dict:
             num_frame=FRAMES, num_joints=JOINTS, depth=DEPTH, num_heads=8,
             with_time_emb=True, mode="s2s",
             dtype=jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32,
+            temporal_mode=TMODE, fuse_time=FUSET,
         )
     else:
         denoise_fn = make_denoise_fn(model)

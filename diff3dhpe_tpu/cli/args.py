@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="run on generated synthetic data (smoke/demo)")
     parser.add_argument("--fast-eval", action="store_true",
                         help="fused-kernel inference path for evaluation")
+    parser.add_argument("--fast-train", action="store_true",
+                        help="fused-kernel training forward (custom VJP)")
     return parser
 
 
@@ -109,5 +111,6 @@ def args_to_overrides(args) -> dict:
         no_eval=args.no_eval or None,
         export_training_curves=args.export_training_curves or None,
         fast_eval=args.fast_eval or None,
+        fast_train=args.fast_train or None,
     )
     return mapping

@@ -83,6 +83,10 @@ class Config:
     # Fused-kernel inference path (models/fast_eval.py) for the final
     # evaluation; 1.27x over the flax forward on v5e at bf16.
     fast_eval: bool = False
+    # Fused-kernel TRAINING forward (custom VJP: Pallas forward +
+    # XLA-recompute backward, models/fast_eval.py). Gradients match the
+    # flax path up to rounding; data-parallel meshes only.
+    fast_train: bool = False
 
     # Checkpointing / eval
     resume: str = ""

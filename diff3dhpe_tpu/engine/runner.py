@@ -136,6 +136,22 @@ class Runner:
             )
         else:
             self.eval_diffusion = self.diffusion
+        if cfg.fast_train:
+            from diff3dhpe_tpu.engine.steps import make_fast_train_denoise_fn
+
+            train_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            self.train_diffusion = dataclasses_replace_denoise(
+                self.diffusion,
+                make_fast_train_denoise_fn(
+                    num_frame=cfg.number_of_frames, num_joints=num_joints,
+                    depth=cfg.transformer_depth, num_heads=cfg.num_heads,
+                    with_time_emb=cfg.with_time_emb,
+                    mode="s2s" if cfg.out_all else "s2f",
+                    dtype=train_dtype, drop_path_rate=cfg.drop_path_rate,
+                ),
+            )
+        else:
+            self.train_diffusion = self.diffusion
         self.eval_step = make_eval_step(
             self.eval_diffusion, self.joints_left, self.joints_right,
             mesh=self.mesh, repeat_n=cfg.repeat_n, tta=cfg.test_time_augmentation,
@@ -189,7 +205,7 @@ class Runner:
             self.state = build_train_state(self.init_params(), self._optimizer)
         else:
             self.state = build_train_state(self.state.params, self._optimizer)
-        train_step = make_train_step(self.diffusion, self._optimizer, mesh=self.mesh)
+        train_step = make_train_step(self.train_diffusion, self._optimizer, mesh=self.mesh)
 
         epoch = 0
         best_epoch = 0

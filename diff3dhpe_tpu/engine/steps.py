@@ -71,6 +71,8 @@ def make_fast_denoise_fn(
     with_time_emb: bool = True,
     mode: str = "s2s",
     dtype=None,
+    temporal_mode: str = "rows",
+    fuse_time: bool = True,
 ) -> Callable:
     """Inference-optimised denoise_fn: the fused-kernel functional forward
     (models/fast_eval.py) over the same param tree. Eval-only (no VJP)."""
@@ -85,8 +87,56 @@ def make_fast_denoise_fn(
         return fast_forward_denoise(
             params, x, t, num_frame=num_frame, num_joints=num_joints,
             depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
-            mode=mode, dtype=dtype,
+            mode=mode, dtype=dtype, temporal_mode=temporal_mode,
+            fuse_time=fuse_time,
         )
+
+    denoise_fn.uses_pallas = True
+    return denoise_fn
+
+
+def make_fast_train_denoise_fn(
+    num_frame: int,
+    num_joints: int,
+    depth: int,
+    num_heads: int = 8,
+    with_time_emb: bool = True,
+    mode: str = "s2s",
+    dtype=None,
+    drop_path_rate: float = 0.1,
+    temporal_mode: str = "rows",
+) -> Callable:
+    """TRAINING denoise_fn on the fused-kernel forward: Pallas forward +
+    XLA-recompute backward via custom VJP (models/fast_eval.py
+    fast_forward_denoise_train). Drop-path scales are drawn from the
+    dropout_key with flax DropPath semantics; with dropout_key=None
+    (eval/sampling calls) the fused inference forward runs directly."""
+    import jax.numpy as jnp
+
+    from diff3dhpe_tpu.models.fast_eval import (
+        FastTrainCfg,
+        draw_drop_path_scales,
+        fast_forward_denoise,
+        fast_forward_denoise_train,
+    )
+
+    dtype = dtype or jnp.float32
+    cfg = FastTrainCfg(
+        num_frame=num_frame, num_joints=num_joints, depth=depth,
+        num_heads=num_heads, with_time_emb=with_time_emb, mode=mode,
+        dtype_name="bfloat16" if dtype == jnp.bfloat16 else "float32",
+        temporal_mode=temporal_mode,
+    )
+
+    def denoise_fn(params, x, t, dropout_key=None):
+        if dropout_key is None:
+            return fast_forward_denoise(
+                params, x, t, num_frame=num_frame, num_joints=num_joints,
+                depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
+                mode=mode, dtype=dtype, temporal_mode=temporal_mode,
+            )
+        dp = draw_drop_path_scales(dropout_key, x.shape[0], depth, drop_path_rate)
+        return fast_forward_denoise_train(params, x, t, dp, cfg)
 
     denoise_fn.uses_pallas = True
     return denoise_fn
@@ -124,7 +174,62 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
 ):
-    """Returns jitted train_step(state, key, gt_3d_norm, input_2d) -> (state, loss)."""
+    """Returns jitted train_step(state, key, gt_3d_norm, input_2d) -> (state, loss).
+
+    On a multi-device mesh the batch shards over the 'data' axis. When the
+    diffusion engine's denoiser lowers to Pallas custom calls (the fused
+    fast-train path), the loss+grad computation is wrapped in shard_map —
+    XLA's SPMD partitioner cannot split a pallas_call — with params
+    replicated, per-shard RNG derived from the data-axis index, and
+    gradients pmean-reduced over the axis; the optimizer update runs on the
+    replicated result. Requires a data-only mesh (no tensor-parallel axis:
+    TP shards the params, which the replicated shard_map body cannot see).
+    """
+    uses_pallas = _uses_pallas(diffusion)
+    data_size = 1
+    if mesh is not None and "data" in mesh.axis_names:
+        data_size = mesh.shape["data"]
+
+    if uses_pallas and mesh is not None and data_size > 1:
+        if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            raise NotImplementedError(
+                "fast_train shard_map path supports data-parallel meshes only"
+            )
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def train_step(state: TrainState, key, gt_3d_norm, input_2d):
+            def body(params, gt_l, x2d_l):
+                idx = jax.lax.axis_index("data")
+                diff_key, dropout_key = jax.random.split(jax.random.fold_in(key, idx))
+
+                def loss_fn(p):
+                    return diffusion.training_loss(
+                        p, diff_key, gt_l, x2d_l, dropout_key=dropout_key
+                    )
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                return (
+                    jax.lax.pmean(loss, "data"),
+                    jax.lax.pmean(grads, "data"),
+                )
+
+            loss, grads = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(state.params, gt_3d_norm, input_2d)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def train_step(state: TrainState, key, gt_3d_norm, input_2d):
         if mesh is not None:

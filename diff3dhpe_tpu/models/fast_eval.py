@@ -11,6 +11,8 @@ VJP. Training and the parity-reference path use the flax module.
 """
 from __future__ import annotations
 
+import collections
+import functools
 from typing import Optional
 
 import jax
@@ -52,6 +54,9 @@ def fast_forward_denoise(
     mode: str = "s2s",
     dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    temporal_mode: str = "rows",
+    dp_scales=None,
+    fuse_time: bool = True,
 ):
     """forward_denoise(x [B, F, J, Cin+3], time [B]) -> [B, F_out, J, 3].
 
@@ -59,11 +64,18 @@ def fast_forward_denoise(
     Frames are padded to a multiple of 8 once in the prologue ([B, F8, J, C],
     pad frames carry garbage that never leaks: spatial pad-groups attend
     among themselves, temporal kernels mask keys >= F). Spatial blocks run
-    on the flat [B*F8*J, C] view; temporal blocks read the SAME buffer
-    through a column-strided BlockSpec ([B*F8, J*C] view, one (b, j) group
-    per grid step) — no transposes or pad/unpad passes between blocks. The
-    per-block diffusion-time add is fused into each kernel's load, so an
-    entire depth-8 trunk touches HBM exactly once per block.
+    on the flat [B*F8*J, C] view; temporal blocks either read the SAME
+    buffer through a column-strided BlockSpec (temporal_mode="cols": one
+    (b, j) group per grid step, no transposes) or run on an XLA-transposed
+    frame-contiguous view that keeps the F8 padding (temporal_mode="rows":
+    several groups batch into each hoisted-GEMM grid step — the measured
+    winner on v5e, see PERF.md). The per-block diffusion-time add is fused
+    into each kernel's load.
+
+    ``dp_scales`` [2*depth, B, 2] f32 (block k: ste_i at 2i, tte_i at 2i+1;
+    last dim = attention/MLP branch) applies per-sample drop-path residual
+    scales for stochastic-depth training — see fast_forward_denoise_train
+    for the differentiable wrapper.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -80,6 +92,41 @@ def fast_forward_denoise(
     else:
         t = None
 
+    if temporal_mode == "legacy":
+        # Round-1 structure (A/B reference): unpadded frame-major tokens,
+        # XLA time-emb adds, per-block transpose + in-kernel pad/unpad.
+        l = f * p
+        x = x.reshape(b, l, c)
+        x = x + jnp.tile(params["spatial_pos_embed"][0], (f, 1)).astype(x.dtype)
+        for i in range(depth):
+            block_s = params[f"ste_block_{i}"]
+            block_t = params[f"tte_block_{i}"]
+            if t is not None and "time_proj" in block_s:
+                t_i = _dense(block_s["time_proj"], jax.nn.silu(t).astype(dtype))
+                x = x + t_i[:, None].astype(x.dtype)
+            x = fused_transformer_block(
+                x.reshape(b * l, c), block_s, n=p, heads=num_heads,
+                interpret=interpret, out_ln_params=params["spatial_norm"],
+            ).reshape(b, l, c)
+            x = jnp.transpose(x.reshape(b, f, p, c), (0, 2, 1, 3)).reshape(b, l, c)
+            if i == 0:
+                x = x + jnp.tile(params["temporal_pos_embed"][0], (p, 1)).astype(x.dtype)
+            if t is not None and "time_proj" in block_t:
+                t_i = _dense(block_t["time_proj"], jax.nn.silu(t).astype(dtype))
+                x = x + t_i[:, None].astype(x.dtype)
+            x = fused_transformer_block(
+                x.reshape(b * l, c), block_t, n=f, heads=num_heads,
+                interpret=interpret, out_ln_params=params["temporal_norm"],
+            ).reshape(b, l, c)
+            x = jnp.transpose(x.reshape(b, p, f, c), (0, 2, 1, 3)).reshape(b, l, c)
+        x = x.reshape(b, f, p, c)
+        if mode == "s2f":
+            w = params["weighted_mean_kernel"].astype(x.dtype)
+            wb = params["weighted_mean_bias"].astype(x.dtype)
+            x = jnp.einsum("bfpc,f->bpc", x, w)[:, None] + wb
+        x = _layernorm(params["head_norm"], x, 1e-5)
+        return _dense(params["head"], x)
+
     # Positional embeddings enter before the respective first blocks
     # (spatial before ste_0; temporal between ste_0 and tte_0 — see below).
     x = x + params["spatial_pos_embed"][0][None, None].astype(x.dtype)
@@ -90,16 +137,26 @@ def fast_forward_denoise(
     rows_item = f8 * p
     x_flat = x.reshape(b * rows_item, c)
 
+    def xla_time_add(x_flat, t_i):
+        """Fallback time-embedding add between kernels (fuse_time=False)."""
+        return (x_flat.reshape(b, rows_item, c) + t_i[:, None].astype(x_flat.dtype)
+                ).reshape(b * rows_item, c)
+
     for i in range(depth):
         block_s = params[f"ste_block_{i}"]
         block_t = params[f"tte_block_{i}"]
         t_i = None
         if t is not None and "time_proj" in block_s:
             t_i = _dense(block_s["time_proj"], jax.nn.silu(t).astype(dtype))
+        dp_s = dp_scales[2 * i] if dp_scales is not None else None
+        dp_t = dp_scales[2 * i + 1] if dp_scales is not None else None
+        if t_i is not None and not fuse_time:
+            x_flat = xla_time_add(x_flat, t_i)
+            t_i = None
         x_flat = fused_transformer_block(
             x_flat, block_s, n=p, heads=num_heads, interpret=interpret,
             out_ln_params=params["spatial_norm"], t_rows=t_i,
-            rows_per_item=rows_item,
+            rows_per_item=rows_item, dp_scales=dp_s,
         )
         if i == 0:
             x4 = x_flat.reshape(b, f8, p, c)
@@ -110,12 +167,32 @@ def fast_forward_denoise(
         t_i = None
         if t is not None and "time_proj" in block_t:
             t_i = _dense(block_t["time_proj"], jax.nn.silu(t).astype(dtype))
-        x_cols = fused_temporal_block_cols(
-            x_flat.reshape(b * f8, p * c), block_t, n=f, f8=f8, j_groups=p,
-            heads=num_heads, interpret=interpret, t_rows=t_i,
-            out_ln_params=params["temporal_norm"],
-        )
-        x_flat = x_cols.reshape(b * rows_item, c)
+        if t_i is not None and not fuse_time:
+            x_flat = xla_time_add(x_flat, t_i)
+            t_i = None
+        if temporal_mode == "cols":
+            # Column-strided BlockSpec: no transpose, but one group (M=f8)
+            # per grid step — fewer rows per MXU call (see PERF.md).
+            x_cols = fused_temporal_block_cols(
+                x_flat.reshape(b * f8, p * c), block_t, n=f, f8=f8, j_groups=p,
+                heads=num_heads, interpret=interpret, t_rows=t_i,
+                out_ln_params=params["temporal_norm"], dp_scales=dp_t,
+            )
+            x_flat = x_cols.reshape(b * rows_item, c)
+        else:
+            # XLA transpose to frame-contiguous groups; groups stay f8-padded
+            # (pre_padded_n8) so there is no per-block pad/unpad round trip,
+            # and multiple groups batch into each hoisted-GEMM grid step.
+            x_t = jnp.transpose(x_flat.reshape(b, f8, p, c), (0, 2, 1, 3))
+            x_t = x_t.reshape(b * rows_item, c)
+            x_t = fused_transformer_block(
+                x_t, block_t, n=f, heads=num_heads, interpret=interpret,
+                out_ln_params=params["temporal_norm"], t_rows=t_i,
+                rows_per_item=rows_item, pre_padded_n8=f8, dp_scales=dp_t,
+            )
+            x_flat = jnp.transpose(
+                x_t.reshape(b, p, f8, c), (0, 2, 1, 3)
+            ).reshape(b * rows_item, c)
 
     x = x_flat.reshape(b, f8, p, c)[:, :f]
     if mode == "s2f":
@@ -126,3 +203,162 @@ def fast_forward_denoise(
     x = _layernorm(params["head_norm"], x, 1e-5)
     x = _dense(params["head"], x)
     return x
+
+
+# ----------------------------------------------------------------------
+# Training path: fused forward + XLA-recompute backward (custom VJP)
+# ----------------------------------------------------------------------
+
+def xla_forward_denoise(
+    params: dict,
+    x,
+    time,
+    *,
+    num_frame: int,
+    num_joints: int,
+    depth: int,
+    num_heads: int = 8,
+    with_time_emb: bool = True,
+    mode: str = "s2s",
+    dtype=jnp.float32,
+    dp_scales=None,
+):
+    """Pure-XLA functional mirror of the MixSTE forward with explicit
+    drop-path scales — the differentiable reference that
+    fast_forward_denoise_train's backward pass recomputes through.
+
+    Matches models.mixste.MixSTEDenoiser exactly when dp_scales is None or
+    all-ones (drop_rate and attn_drop are 0 in every shipped config, so
+    drop-path is the only stochastic regulariser; reference Block:90-135).
+    """
+    from diff3dhpe_tpu.ops.attention import grand_attention
+
+    b, f, p, _ = x.shape
+    c = params["fusion_layer"]["kernel"].shape[-1]
+
+    def block(bp, x4, is_spatial, t_emb, dp):
+        if t_emb is not None and "time_proj" in bp:
+            ti = _dense(bp["time_proj"], jax.nn.silu(t_emb).astype(dtype))
+            x4 = x4 + ti[:, None, None, :].astype(x4.dtype)
+        if is_spatial:
+            tok = x4.reshape(b * f, p, c)
+        else:
+            tok = jnp.transpose(x4, (0, 2, 1, 3)).reshape(b * p, f, c)
+        n = tok.shape[1]
+
+        def branch_scale(col, y):
+            if dp is None:
+                return y
+            # dp is [B, 2]; rows of tok belong to batch i // (rows/b).
+            s = jnp.repeat(dp[:, col], tok.shape[0] // b)
+            return y * s[:, None, None].astype(y.dtype)
+
+        xn = _layernorm(bp["norm1"], tok, 1e-6)
+        qkv = _dense(bp["attn"]["qkv"], xn)
+        qkv = qkv.reshape(tok.shape[0], n, 3, num_heads, c // num_heads)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+        att = grand_attention(qkv[0], qkv[1], qkv[2])
+        att = jnp.transpose(att, (0, 2, 1, 3)).reshape(tok.shape[0], n, c)
+        tok = tok + branch_scale(0, _dense(bp["attn"]["proj"], att))
+        mn = _layernorm(bp["norm2"], tok, 1e-6)
+        mid = jax.nn.gelu(_dense(bp["mlp"]["fc1"], mn), approximate=False)
+        tok = tok + branch_scale(1, _dense(bp["mlp"]["fc2"], mid))
+
+        if is_spatial:
+            return tok.reshape(b, f, p, c)
+        return jnp.transpose(tok.reshape(b, p, f, c), (0, 2, 1, 3))
+
+    x = _dense(params["fusion_layer"], x.astype(dtype))
+    if with_time_emb:
+        t = sinusoidal_pos_emb(time, c)
+        t = _dense(params["time_mlp_1"], t.astype(dtype))
+        t = jax.nn.gelu(t, approximate=False)
+        t = _dense(params["time_mlp_2"], t)
+    else:
+        t = None
+
+    x = x + params["spatial_pos_embed"][0][None, None].astype(x.dtype)
+    for i in range(depth):
+        dp_s = dp_scales[2 * i] if dp_scales is not None else None
+        dp_t = dp_scales[2 * i + 1] if dp_scales is not None else None
+        x = block(params[f"ste_block_{i}"], x, True, t, dp_s)
+        x = _layernorm(params["spatial_norm"], x, 1e-6)
+        if i == 0:
+            x = x + params["temporal_pos_embed"][0][None, :, None].astype(x.dtype)
+        x = block(params[f"tte_block_{i}"], x, False, t, dp_t)
+        x = _layernorm(params["temporal_norm"], x, 1e-6)
+
+    if mode == "s2f":
+        w = params["weighted_mean_kernel"].astype(x.dtype)
+        wb = params["weighted_mean_bias"].astype(x.dtype)
+        x = jnp.einsum("bfpc,f->bpc", x, w)[:, None] + wb
+    x = _layernorm(params["head_norm"], x, 1e-5)
+    return _dense(params["head"], x)
+
+
+FastTrainCfg = collections.namedtuple(
+    "FastTrainCfg",
+    "num_frame num_joints depth num_heads with_time_emb mode dtype_name temporal_mode",
+)
+
+
+def _cfg_dtype(cfg):
+    return jnp.bfloat16 if cfg.dtype_name == "bfloat16" else jnp.float32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fast_forward_denoise_train(params, x, time, dp_scales, cfg: FastTrainCfg):
+    """Differentiable fused-kernel forward for TRAINING.
+
+    Forward = the Pallas fused-block pipeline (fast_forward_denoise) with
+    per-sample drop-path scales; backward = jax.vjp of the pure-XLA mirror
+    (xla_forward_denoise) recomputed from the saved inputs — i.e. remat
+    where the stored forward pass is the fast one. Gradients are exactly
+    those of the XLA function (they differ from the kernel forward only by
+    floating-point rounding).
+    """
+    return fast_forward_denoise(
+        params, x, time, num_frame=cfg.num_frame, num_joints=cfg.num_joints,
+        depth=cfg.depth, num_heads=cfg.num_heads,
+        with_time_emb=cfg.with_time_emb, mode=cfg.mode, dtype=_cfg_dtype(cfg),
+        temporal_mode=cfg.temporal_mode, dp_scales=dp_scales,
+    )
+
+
+def _fftrain_fwd(params, x, time, dp_scales, cfg):
+    out = fast_forward_denoise_train(params, x, time, dp_scales, cfg)
+    return out, (params, x, time, dp_scales)
+
+
+def _fftrain_bwd(cfg, res, g):
+    params, x, time, dp_scales = res
+
+    def ref_fn(p, xx, tt):
+        return xla_forward_denoise(
+            p, xx, tt, num_frame=cfg.num_frame, num_joints=cfg.num_joints,
+            depth=cfg.depth, num_heads=cfg.num_heads,
+            with_time_emb=cfg.with_time_emb, mode=cfg.mode,
+            dtype=_cfg_dtype(cfg), dp_scales=dp_scales,
+        )
+
+    _, vjp = jax.vjp(ref_fn, params, x, time)
+    d_params, d_x, d_time = vjp(g)
+    # dp_scales is a sampled mask, not a learnable input.
+    return d_params, d_x, d_time, jnp.zeros_like(dp_scales)
+
+
+fast_forward_denoise_train.defvjp(_fftrain_fwd, _fftrain_bwd)
+
+
+def draw_drop_path_scales(key, batch: int, depth: int, drop_path_rate: float):
+    """[2*depth, B, 2] drop-path scales matching flax DropPath semantics:
+    rate for block pair i = linspace(0, drop_path_rate, depth)[i]; each
+    (block, branch, sample) draw is an independent Bernoulli(keep), scaled
+    1/keep when kept (models/mixste.py DropPath)."""
+    import numpy as np
+
+    rates = np.linspace(0.0, drop_path_rate, depth)
+    keep = jnp.asarray(np.repeat(1.0 - rates, 2), jnp.float32)  # [2*depth]
+    u = jax.random.uniform(key, (2 * depth, batch, 2))
+    k = keep[:, None, None]
+    return jnp.where(u < k, 1.0 / k, 0.0)

@@ -118,10 +118,10 @@ def _fused_attn_block_kernel(
 
 
 def _fused_full_block_kernel(
-    x_ref, t_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    x_ref, t_ref, dp_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     oln_s_ref, oln_b_ref, o_ref,
-    *, n, n8, heads, scale, tile_rows, tiles, out_ln, has_t, rows_per_item,
+    *, n, n8, heads, scale, tile_rows, tiles, out_ln, has_t, has_dp, rows_per_item,
 ):
     """Whole transformer block per tile: attention residual + MLP residual,
     optionally followed by the model's inter-block LayerNorm (the
@@ -133,6 +133,11 @@ def _fused_full_block_kernel(
     row selects its batch row via a one-hot matmul on row_index //
     rows_per_item (padding rows map past B and get zero). This removes one
     full HBM round trip per block that XLA cannot fuse into a custom call.
+
+    ``has_dp``: drop-path (stochastic depth) training support — dp_ref is
+    [B, 128] with the attention-branch scale in column 0 and the MLP-branch
+    scale in column 1 (each 0 or 1/keep_prob); residual branches are scaled
+    per sample, matching flax DropPath semantics.
     """
     import jax.experimental.pallas as pl
 
@@ -141,19 +146,27 @@ def _fused_full_block_kernel(
     p = tile_rows // n8
     row0 = pl.program_id(0) * (tile_rows * tiles)
 
-    def time_rows(first_row, rows):
-        """(rows, C) f32: t_ref[batch_of_row], zeros for out-of-range rows."""
-        b = t_ref.shape[0]
+    def batch_rows(ref, first_row, rows):
+        """(rows, ref.cols) f32: ref[batch_of_row], zeros past the batch."""
+        b = ref.shape[0]
         r = jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0) + first_row
         bidx = r // rows_per_item
         onehot = (
             bidx == jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
         ).astype(jnp.float32)
         return jax.lax.dot_general(
-            onehot, t_ref[...].astype(jnp.float32),
+            onehot, ref[...].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    def time_rows(first_row, rows):
+        return batch_rows(t_ref, first_row, rows)
+
+    def dp_rows(first_row, rows):
+        """((rows, 1), (rows, 1)) f32 drop-path scales for the two branches."""
+        dp = batch_rows(dp_ref, first_row, rows)
+        return dp[:, 0:1], dp[:, 1:2]
 
     # Groups occupy n8 >= n rows per tile (n8 > n when groups were padded to
     # an 8-row multiple); mask keeps softmax within each group's REAL rows.
@@ -205,13 +218,18 @@ def _fused_full_block_kernel(
             head_outs.append(av - v.astype(jnp.float32))
         return jnp.concatenate(head_outs, axis=-1)
 
-    def mlp_residual(xs, attn_out):
-        h1 = xs.astype(jnp.float32) + dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
-        h1 = h1.astype(xs.dtype)
+    def mlp_residual(xs, attn_out, s_attn=None, s_mlp=None):
+        attn_branch = dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
+        if s_attn is not None:
+            attn_branch = attn_branch * s_attn
+        h1 = (xs.astype(jnp.float32) + attn_branch).astype(xs.dtype)
         hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(xs.dtype)
         mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
         mid = _gelu_exact(mid).astype(xs.dtype)
-        out = h1.astype(jnp.float32) + dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+        mlp_branch = dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+        if s_mlp is not None:
+            mlp_branch = mlp_branch * s_mlp
+        out = h1.astype(jnp.float32) + mlp_branch
         if out_ln:
             out = _layernorm_rows(out.astype(xs.dtype), oln_s, oln_b)
         return out
@@ -227,13 +245,14 @@ def _fused_full_block_kernel(
             xs_all = (
                 xs_all.astype(jnp.float32) + time_rows(row0, step_rows)
             ).astype(xs_all.dtype)
+        s_attn, s_mlp = dp_rows(row0, step_rows) if has_dp else (None, None)
         xn_all = _layernorm_rows(xs_all, ln_s, ln_b).astype(xs_all.dtype)
         qkv_all = (dot(xn_all, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs_all.dtype)
         attn_out = jnp.concatenate(
             [attend_tile(qkv_all[t * tile_rows:(t + 1) * tile_rows, :]) for t in range(tiles)],
             axis=0,
         ).astype(xs_all.dtype)
-        o_ref[...] = mlp_residual(xs_all, attn_out).astype(o_ref.dtype)
+        o_ref[...] = mlp_residual(xs_all, attn_out, s_attn, s_mlp).astype(o_ref.dtype)
     else:
         # Long-sequence tiles: step-wide buffers would exceed VMEM; keep the
         # whole block per tile.
@@ -244,16 +263,20 @@ def _fused_full_block_kernel(
                 xs = (
                     xs.astype(jnp.float32) + time_rows(row0 + t * tile_rows, tile_rows)
                 ).astype(xs.dtype)
+            s_attn, s_mlp = (
+                dp_rows(row0 + t * tile_rows, tile_rows) if has_dp else (None, None)
+            )
             xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
             qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
             attn_out = attend_tile(qkv).astype(xs.dtype)
-            o_ref[rows, :] = mlp_residual(xs, attn_out).astype(o_ref.dtype)
+            o_ref[rows, :] = mlp_residual(xs, attn_out, s_attn, s_mlp).astype(o_ref.dtype)
 
 
 def fused_transformer_block(
     x, block_params: dict, n: int, heads: int, scale=None, interpret=None,
     tiles_per_step: int = 8, out_ln_params: dict = None,
-    t_rows=None, rows_per_item: int = None,
+    t_rows=None, rows_per_item: int = None, pre_padded_n8: int = None,
+    dp_scales=None,
 ):
     """Whole transformer block (attention residual + MLP residual) fused.
 
@@ -262,7 +285,12 @@ def fused_transformer_block(
     ``out_ln_params`` optionally fuses the model's inter-block LayerNorm
     (scale/bias dict) into the output write, saving one HBM round trip per
     block. ``t_rows`` [B, C] optionally fuses the per-block diffusion-time
-    embedding add (row i of x belongs to batch i // rows_per_item)."""
+    embedding add (row i of x belongs to batch i // rows_per_item).
+    ``pre_padded_n8``: the caller's groups are ALREADY padded to this many
+    rows (only the first n real; pad rows' outputs are garbage and stay in
+    the pad slots) — skips the kernel's own pad/unpad round trip.
+    ``dp_scales`` [B, 2] f32 optionally applies per-sample drop-path scales
+    (attention branch, MLP branch) for stochastic-depth training."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -277,11 +305,17 @@ def fused_transformer_block(
     itemsize = jnp.dtype(x.dtype).itemsize
 
     n8 = n
+    if pre_padded_n8 is not None:
+        assert pre_padded_n8 % 8 == 0 and r % pre_padded_n8 == 0
+        n8 = pre_padded_n8
+        r_pad = r
+        if rows_per_item is not None:
+            assert rows_per_item % n8 == 0
     # Pad each group to an 8-row multiple when that unlocks smaller grid
     # steps under Mosaic's block-divisibility rule: always for long
     # sequences (hoisted-GEMM path), and for small groups too at f32, where
     # bf16's VMEM budget would otherwise be exceeded.
-    if n % 8 and (n > 64 or itemsize >= 4):
+    elif n % 8 and (n > 64 or itemsize >= 4):
         n8 = ((n + 7) // 8) * 8
         g = r // n
         x = jnp.pad(x.reshape(g, n, c), ((0, 0), (0, n8 - n), (0, 0))).reshape(g * n8, c)
@@ -297,6 +331,14 @@ def fused_transformer_block(
         t_rows = jnp.zeros((1, c), x.dtype)
         rows_per_item = r_pad if rows_per_item is None else rows_per_item
     assert rows_per_item is not None
+
+    has_dp = dp_scales is not None
+    if has_dp:
+        bsz = dp_scales.shape[0]
+        dp_pad = jnp.zeros((bsz, 128), jnp.float32)
+        dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
+    else:
+        dp_pad = jnp.zeros((1, 128), jnp.float32)
 
     p = max(1, 128 // n8) if n8 <= 64 else 1
     tile_rows = p * n8
@@ -337,12 +379,13 @@ def fused_transformer_block(
         functools.partial(
             _fused_full_block_kernel, n=n, n8=n8, heads=heads, scale=scale,
             tile_rows=tile_rows, tiles=tiles, out_ln=out_ln,
-            has_t=has_t, rows_per_item=rows_per_item,
+            has_t=has_t, has_dp=has_dp, rows_per_item=rows_per_item,
         ),
         grid=(r2 // step_rows,),
         in_specs=[
             row_spec,
             full(*t_rows.shape),
+            full(*dp_pad.shape),
             full(1, c), full(1, c),
             full(c, 3 * c), full(1, 3 * c),
             full(c, c), full(1, c),
@@ -362,6 +405,7 @@ def fused_transformer_block(
     )(
         x_p,
         t_rows.astype(x.dtype),
+        dp_pad,
         block_params["norm1"]["scale"].reshape(1, c),
         block_params["norm1"]["bias"].reshape(1, c),
         attn["qkv"]["kernel"].astype(x.dtype),
@@ -377,7 +421,7 @@ def fused_transformer_block(
         oln_s, oln_b,
     )
     out = out[:r_pad] if r2 != r_pad else out
-    if n8 != n:
+    if n8 != n and pre_padded_n8 is None:
         g = r // n
         out = out.reshape(g, n8, c)[:, :n, :].reshape(r, c)
     return out
@@ -445,10 +489,10 @@ def fused_attention_block(
 
 
 def _fused_temporal_group_kernel(
-    x_ref, t_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    x_ref, t_ref, dp_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     oln_s_ref, oln_b_ref, o_ref,
-    *, n, heads, scale, out_ln, has_t, j_groups,
+    *, n, heads, scale, out_ln, has_t, has_dp, j_groups,
 ):
     """Whole transformer block on ONE temporal attention group (F8, C).
 
@@ -461,24 +505,30 @@ def _fused_temporal_group_kernel(
     d = c // heads
     f8 = x_ref.shape[0]
 
-    xs = x_ref[...]
-    if has_t:
-        # t_ref is the full [B, C] table (Mosaic forbids 1-sublane blocks);
-        # select this group's batch row with a one-hot matmul on
-        # program_id // j_groups.
-        import jax.experimental.pallas as pl
+    import jax.experimental.pallas as pl
 
-        bsz = t_ref.shape[0]
+    def batch_vec(ref):
+        """(1, ref.cols) f32: ref[batch of this group] via one-hot matmul
+        on program_id // j_groups (Mosaic forbids 1-sublane blocks)."""
+        bsz = ref.shape[0]
         bidx = pl.program_id(0) // j_groups
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, bsz), 1) == bidx
         ).astype(jnp.float32)
-        t_vec = jax.lax.dot_general(
-            onehot, t_ref[...].astype(jnp.float32),
+        return jax.lax.dot_general(
+            onehot, ref[...].astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        xs = (xs.astype(jnp.float32) + t_vec).astype(xs.dtype)
+
+    xs = x_ref[...]
+    if has_t:
+        xs = (xs.astype(jnp.float32) + batch_vec(t_ref)).astype(xs.dtype)
+    if has_dp:
+        dp_vec = batch_vec(dp_ref)
+        s_attn, s_mlp = dp_vec[0:1, 0:1], dp_vec[0:1, 1:2]
+    else:
+        s_attn = s_mlp = None
 
     mask = None
     if f8 != n:
@@ -522,12 +572,17 @@ def _fused_temporal_group_kernel(
         head_outs.append(av - v.astype(jnp.float32))
     attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
 
-    h1 = xs.astype(jnp.float32) + dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
-    h1 = h1.astype(xs.dtype)
+    attn_branch = dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
+    if s_attn is not None:
+        attn_branch = attn_branch * s_attn
+    h1 = (xs.astype(jnp.float32) + attn_branch).astype(xs.dtype)
     hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(xs.dtype)
     mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
     mid = _gelu_exact(mid).astype(xs.dtype)
-    out = h1.astype(jnp.float32) + dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+    mlp_branch = dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
+    if s_mlp is not None:
+        mlp_branch = mlp_branch * s_mlp
+    out = h1.astype(jnp.float32) + mlp_branch
     if out_ln:
         oln_s = oln_s_ref[...].reshape(c)
         oln_b = oln_b_ref[...].reshape(c)
@@ -538,6 +593,7 @@ def _fused_temporal_group_kernel(
 def fused_temporal_block_cols(
     x, block_params: dict, n: int, f8: int, j_groups: int, heads: int,
     scale=None, interpret=None, t_rows=None, out_ln_params: dict = None,
+    dp_scales=None,
 ):
     """Temporal transformer block over spatial-major activations, transposed
     IN THE BLOCKSPEC instead of in HBM.
@@ -582,6 +638,14 @@ def fused_temporal_block_cols(
     if not has_t:
         t_rows = jnp.zeros((1, c), x.dtype)
 
+    has_dp = dp_scales is not None
+    if has_dp:
+        bsz = dp_scales.shape[0]
+        dp_pad = jnp.zeros((bsz, 128), jnp.float32)
+        dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
+    else:
+        dp_pad = jnp.zeros((1, 128), jnp.float32)
+
     group_spec = pl.BlockSpec(
         (f8, c), lambda i: (i // j_groups, i % j_groups), memory_space=pltpu.VMEM
     )
@@ -592,12 +656,13 @@ def fused_temporal_block_cols(
     out = pl.pallas_call(
         functools.partial(
             _fused_temporal_group_kernel, n=n, heads=heads, scale=scale,
-            out_ln=out_ln, has_t=has_t, j_groups=j_groups,
+            out_ln=out_ln, has_t=has_t, has_dp=has_dp, j_groups=j_groups,
         ),
         grid=(b * j_groups,),
         in_specs=[
             group_spec,
             t_spec,
+            full(*dp_pad.shape),
             full(1, c), full(1, c),
             full(c, 3 * c), full(1, 3 * c),
             full(c, c), full(1, c),
@@ -618,6 +683,7 @@ def fused_temporal_block_cols(
     )(
         x,
         t_rows.astype(x.dtype),
+        dp_pad,
         block_params["norm1"]["scale"].reshape(1, c),
         block_params["norm1"]["bias"].reshape(1, c),
         attn["qkv"]["kernel"].astype(x.dtype),

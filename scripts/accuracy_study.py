@@ -52,6 +52,9 @@ def main():
         learning_rate=4e-4, subjects_train="S1,S5", subjects_test="S9",
         checkpoint=os.path.join(os.path.dirname(OUT), "study_ckpt"),
         patience=EPOCHS, matmul_precision="highest",
+        # 243f backward without remat blows up the remote compile helper
+        # (PERF.md "Training throughput"); remat is gradient-exact.
+        remat=FRAMES > 100,
     )
     dataset, kp = make_synthetic_h36m_like(
         subjects=("S1", "S5", "S9"), n_frames=4 * FRAMES, seed=0

@@ -1,0 +1,141 @@
+"""Fused-kernel TRAINING path (models/fast_eval.py train section).
+
+Covers: the XLA functional mirror vs the flax module, drop-path semantics
+of the fused kernels (fused == mirror at the same dp scales), the custom
+VJP's gradients vs the flax path, the drop-path sampler's distribution
+contract, and the shard_map'd data-parallel train step.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff3dhpe_tpu.models import MixSTEDenoiser
+from diff3dhpe_tpu.models.fast_eval import (
+    FastTrainCfg,
+    draw_drop_path_scales,
+    fast_forward_denoise,
+    fast_forward_denoise_train,
+    xla_forward_denoise,
+)
+
+F, J, C, D = 9, 17, 32, 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=D,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
+        with_time_emb=True, mode="s2s",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, F, J, 5))
+    t = jnp.array([3.0, 7.0, 11.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    return model, params, x, t
+
+
+KW = dict(num_frame=F, num_joints=J, depth=D, num_heads=8, dtype=jnp.float32)
+
+
+def test_xla_mirror_matches_flax(setup):
+    model, params, x, t = setup
+    ref = model.apply({"params": params}, x, t, deterministic=True)
+    out = xla_forward_denoise(params, x, t, **KW)
+    assert float(jnp.abs(out - ref).max()) < 1e-5
+
+
+@pytest.mark.parametrize("temporal_mode", ["rows", "cols"])
+def test_fused_drop_path_matches_mirror(setup, temporal_mode):
+    _, params, x, t = setup
+    dp = draw_drop_path_scales(jax.random.PRNGKey(5), 3, D, 0.5)
+    assert float(dp.min()) == 0.0  # rate 0.5 on the last pair: drops happen
+    fused = fast_forward_denoise(
+        params, x, t, temporal_mode=temporal_mode, dp_scales=dp, **KW
+    )
+    mirror = xla_forward_denoise(params, x, t, dp_scales=dp, **KW)
+    assert float(jnp.abs(fused - mirror).max()) < 1e-5
+
+
+def test_custom_vjp_grads_match_flax(setup):
+    model, params, x, t = setup
+    cfg = FastTrainCfg(
+        num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
+        mode="s2s", dtype_name="float32", temporal_mode="rows",
+    )
+    dp1 = jnp.ones((2 * D, 3, 2))  # drop-path inactive -> deterministic
+
+    def loss_fast(p):
+        return jnp.sum(fast_forward_denoise_train(p, x, t, dp1, cfg) ** 2)
+
+    def loss_flax(p):
+        return jnp.sum(model.apply({"params": p}, x, t, deterministic=True) ** 2)
+
+    gf = jax.grad(loss_fast)(params)
+    gr = jax.grad(loss_flax)(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)), gf, gr
+    )
+    assert max(jax.tree.leaves(rel)) < 2e-4
+
+
+def test_draw_drop_path_scales_distribution():
+    depth, b = 4, 256
+    rate = 0.4
+    dp = np.asarray(draw_drop_path_scales(jax.random.PRNGKey(0), b, depth, rate))
+    assert dp.shape == (2 * depth, b, 2)
+    rates = np.linspace(0.0, rate, depth)
+    # Block pair 0 has rate 0: never dropped, scale exactly 1.
+    assert (dp[0] == 1.0).all() and (dp[1] == 1.0).all()
+    for i, r in enumerate(rates[1:], start=1):
+        keep = 1.0 - r
+        blk = dp[2 * i]
+        vals = np.unique(blk)
+        for v in vals:
+            assert np.isclose(v, 0.0) or np.isclose(v, 1.0 / keep, rtol=1e-5), vals
+        # E[scale] = 1 (unbiased residual): empirical keep-rate near keep.
+        assert abs((blk > 0).mean() - keep) < 0.08
+
+
+def test_shard_map_fast_train_step():
+    from diff3dhpe_tpu.diffusion import GaussianDiffusion
+    from diff3dhpe_tpu.engine import build_train_state, make_train_step
+    from diff3dhpe_tpu.engine.steps import make_fast_train_denoise_fn, make_optimizer
+    from diff3dhpe_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    assert n == 8
+    mesh = make_mesh(f"data:{n}")
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=D,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
+        with_time_emb=True, mode="s2s",
+    )
+    denoise_fn = make_fast_train_denoise_fn(
+        num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
+        mode="s2s", dtype=jnp.float32, drop_path_rate=0.1,
+    )
+    diffusion = GaussianDiffusion.create(
+        denoise_fn, timesteps=40, sampling_timesteps=4, clip_denoised=True,
+        clip_loss=True, beta_schedule="cosine", mode="s2s",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F, J, 5)), jnp.zeros((1,))
+    )["params"]
+    opt = make_optimizer(1e-4, 0.99, steps_per_epoch=10)
+    params0 = jax.device_get(params)  # host copy: the step donates state
+    state = build_train_state(params, opt)
+    step = make_train_step(diffusion, opt, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.standard_normal((2 * n, F, J, 3)), jnp.float32)
+    x2d = jnp.asarray(rng.standard_normal((2 * n, F, J, 2)), jnp.float32)
+    new_state, loss = step(state, jax.random.PRNGKey(1), gt, x2d)
+    assert np.isfinite(float(loss))
+    # Params actually moved.
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - np.asarray(b)).max()),
+        jax.device_get(new_state.params), params0,
+    )
+    assert max(jax.tree.leaves(delta)) > 0
