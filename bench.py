@@ -18,6 +18,7 @@ that is the real TPU chip). One JSON line on stdout.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -82,27 +83,34 @@ def measure_tpu() -> dict:
 
     # NOTE: on the remote-relay backend block_until_ready does not actually
     # wait for device execution; a scalar reduce + host transfer is the only
-    # reliable sync, so we time with `float(sum(out))` (~33ms tunnel latency,
-    # negligible against seconds of compute).
-    sum_sync = jax.jit(lambda a: jnp.sum(a))
+    # reliable sync. Timing-harness lessons (round-2 bisect of a phantom
+    # 12% "regression" that was entirely the harness, PERF.md):
+    # - NEVER call a jnp op on a host scalar inside the timed window:
+    #   `jnp.isfinite(float(x))` compiles a fresh trivial program through
+    #   the compile helper (~0.4 s) — use math.isfinite;
+    # - threading a scalar dependence through the iterations serialises
+    #   enqueue on a host round trip per call (4x slowdown).
+    # The timed loop is exactly a serving loop: independent dispatches,
+    # then force the LAST output — on this single-core backend execution is
+    # in-order, so that forces the whole queue. Every iteration's output is
+    # then verified finite OUTSIDE the timed window (the round-1 review's
+    # completeness concern, without poisoning the measurement).
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    sum_sync = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
 
-    # Warm-up / compile both programs.
-    out = eval_step(params, key, x2d, x2d_flip)
+    out = eval_step(params, key, x2d, x2d_flip)  # warm-up / compile
     float(sum_sync(out))
 
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
     t0 = time.time()
-    acc = None
-    for i in range(iters):
-        out = eval_step(params, jax.random.fold_in(key, i), x2d, x2d_flip)
-        # Sum EVERY iteration's output into one lazy device scalar so the
-        # final host transfer provably forces all launches (a single TPU
-        # core happens to execute in order, but that is backend trivia the
-        # timing must not depend on).
-        s = sum_sync(out)
-        acc = s if acc is None else acc + s
-    assert jnp.isfinite(float(acc))
+    outs = [
+        eval_step(params, jax.random.fold_in(key, i), x2d, x2d_flip)
+        for i in range(iters)
+    ]
+    assert math.isfinite(float(sum_sync(outs[-1])))  # forces the queue
     dt = time.time() - t0
+
+    # Post-timing completeness check: every iteration produced finite output.
+    assert all(math.isfinite(float(sum_sync(o))) for o in outs)
 
     n_chips = jax.device_count()
     seqs_per_sec = BATCH * iters / dt

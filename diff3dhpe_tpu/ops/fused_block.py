@@ -118,10 +118,8 @@ def _fused_attn_block_kernel(
 
 
 def _fused_full_block_kernel(
-    x_ref, t_ref, dp_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    oln_s_ref, oln_b_ref, o_ref,
-    *, n, n8, heads, scale, tile_rows, tiles, out_ln, has_t, has_dp, rows_per_item,
+    x_ref, *refs,
+    n, n8, heads, scale, tile_rows, tiles, out_ln, has_t, has_dp, rows_per_item,
 ):
     """Whole transformer block per tile: attention residual + MLP residual,
     optionally followed by the model's inter-block LayerNorm (the
@@ -138,8 +136,18 @@ def _fused_full_block_kernel(
     [B, 128] with the attention-branch scale in column 0 and the MLP-branch
     scale in column 1 (each 0 or 1/keep_prob); residual branches are scaled
     per sample, matching flax DropPath semantics.
+
+    t_ref/dp_ref are passed ONLY when has_t/has_dp (an unused input still
+    costs a per-call VMEM fetch, measured on the eval hot path).
     """
     import jax.experimental.pallas as pl
+
+    it = iter(refs)
+    t_ref = next(it) if has_t else None
+    dp_ref = next(it) if has_dp else None
+    (ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     oln_s_ref, oln_b_ref, o_ref) = it
 
     c = x_ref.shape[-1]
     d = c // heads
@@ -328,7 +336,6 @@ def fused_transformer_block(
 
     has_t = t_rows is not None
     if not has_t:
-        t_rows = jnp.zeros((1, c), x.dtype)
         rows_per_item = r_pad if rows_per_item is None else rows_per_item
     assert rows_per_item is not None
 
@@ -337,8 +344,6 @@ def fused_transformer_block(
         bsz = dp_scales.shape[0]
         dp_pad = jnp.zeros((bsz, 128), jnp.float32)
         dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
-    else:
-        dp_pad = jnp.zeros((1, 128), jnp.float32)
 
     p = max(1, 128 // n8) if n8 <= 64 else 1
     tile_rows = p * n8
@@ -375,6 +380,13 @@ def fused_transformer_block(
     row_spec = pl.BlockSpec((step_rows, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    opt_inputs, opt_specs = [], []
+    if has_t:
+        opt_inputs.append(t_rows.astype(x.dtype))
+        opt_specs.append(full(*t_rows.shape))
+    if has_dp:
+        opt_inputs.append(dp_pad)
+        opt_specs.append(full(*dp_pad.shape))
     out = pl.pallas_call(
         functools.partial(
             _fused_full_block_kernel, n=n, n8=n8, heads=heads, scale=scale,
@@ -384,8 +396,7 @@ def fused_transformer_block(
         grid=(r2 // step_rows,),
         in_specs=[
             row_spec,
-            full(*t_rows.shape),
-            full(*dp_pad.shape),
+            *opt_specs,
             full(1, c), full(1, c),
             full(c, 3 * c), full(1, 3 * c),
             full(c, c), full(1, c),
@@ -404,8 +415,7 @@ def fused_transformer_block(
         interpret=interpret,
     )(
         x_p,
-        t_rows.astype(x.dtype),
-        dp_pad,
+        *opt_inputs,
         block_params["norm1"]["scale"].reshape(1, c),
         block_params["norm1"]["bias"].reshape(1, c),
         attn["qkv"]["kernel"].astype(x.dtype),
@@ -489,10 +499,8 @@ def fused_attention_block(
 
 
 def _fused_temporal_group_kernel(
-    x_ref, t_ref, dp_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-    ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-    oln_s_ref, oln_b_ref, o_ref,
-    *, n, heads, scale, out_ln, has_t, has_dp, j_groups,
+    x_ref, *refs,
+    n, heads, scale, out_ln, has_t, has_dp, j_groups,
 ):
     """Whole transformer block on ONE temporal attention group (F8, C).
 
@@ -501,6 +509,13 @@ def _fused_temporal_group_kernel(
     Rows n..F8-1 are frame padding: masked out of the softmax as keys; their
     outputs are garbage and sliced off by the caller's epilogue.
     """
+    it = iter(refs)
+    t_ref = next(it) if has_t else None
+    dp_ref = next(it) if has_dp else None
+    (ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+     ln2_s_ref, ln2_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     oln_s_ref, oln_b_ref, o_ref) = it
+
     c = x_ref.shape[-1]
     d = c // heads
     f8 = x_ref.shape[0]
@@ -635,23 +650,24 @@ def fused_temporal_block_cols(
         oln_b = jnp.zeros((1, c), x.dtype)
 
     has_t = t_rows is not None
-    if not has_t:
-        t_rows = jnp.zeros((1, c), x.dtype)
-
     has_dp = dp_scales is not None
     if has_dp:
         bsz = dp_scales.shape[0]
         dp_pad = jnp.zeros((bsz, 128), jnp.float32)
         dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
-    else:
-        dp_pad = jnp.zeros((1, 128), jnp.float32)
 
     group_spec = pl.BlockSpec(
         (f8, c), lambda i: (i // j_groups, i % j_groups), memory_space=pltpu.VMEM
     )
     full = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    t_spec = full(*t_rows.shape)
+    opt_inputs, opt_specs = [], []
+    if has_t:
+        opt_inputs.append(t_rows.astype(x.dtype))
+        opt_specs.append(full(*t_rows.shape))
+    if has_dp:
+        opt_inputs.append(dp_pad)
+        opt_specs.append(full(*dp_pad.shape))
 
     out = pl.pallas_call(
         functools.partial(
@@ -661,8 +677,7 @@ def fused_temporal_block_cols(
         grid=(b * j_groups,),
         in_specs=[
             group_spec,
-            t_spec,
-            full(*dp_pad.shape),
+            *opt_specs,
             full(1, c), full(1, c),
             full(c, 3 * c), full(1, 3 * c),
             full(c, c), full(1, c),
@@ -682,8 +697,7 @@ def fused_temporal_block_cols(
         interpret=interpret,
     )(
         x,
-        t_rows.astype(x.dtype),
-        dp_pad,
+        *opt_inputs,
         block_params["norm1"]["scale"].reshape(1, c),
         block_params["norm1"]["bias"].reshape(1, c),
         attn["qkv"]["kernel"].astype(x.dtype),

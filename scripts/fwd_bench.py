@@ -10,6 +10,7 @@ B defaults to 8 (bench's flip-doubled eval batch), FRAMES to 243.
 """
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -57,21 +58,19 @@ def main():
     fwd = jax.jit(fwd)
     x = jax.random.normal(jax.random.PRNGKey(1), (b, frames, J, 5))
     t = jnp.zeros((b,))
-    sync = jax.jit(lambda a: jnp.sum(a))
+    iters = int(os.environ.get("FWD_ITERS", "20"))
+    # One end-of-loop sum forces every output; never sync inside the timed
+    # loop (each tunnel dispatch costs ~15 ms — see PERF.md harness notes).
+    sum_all = jax.jit(lambda xs: sum(jnp.sum(o.astype(jnp.float32)) for o in xs))
 
     t0 = time.time()
     out = fwd(params, x, t)
-    float(sync(out))
+    float(sum_all([out] * iters))
     compile_s = time.time() - t0
 
-    iters = int(os.environ.get("FWD_ITERS", "20"))
     t0 = time.time()
-    acc = None
-    for i in range(iters):
-        out = fwd(params, x, t)
-        s = sync(out)
-        acc = s if acc is None else acc + s
-    assert jnp.isfinite(float(acc))
+    outs = [fwd(params, x, t) for _ in range(iters)]
+    assert math.isfinite(float(sum_all(outs)))
     ms = (time.time() - t0) / iters * 1000
     print(f"{variant} B={b} F={frames}: {ms:.1f} ms/fwd  (compile {compile_s:.0f}s)")
 

@@ -13,6 +13,7 @@ B defaults to 8, FRAMES to 243 (round-1 baseline: 361 ms/step = 22.2 seq/s).
 """
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -69,12 +70,18 @@ def main():
     compile_s = time.time() - t0
 
     iters = int(os.environ.get("TRAIN_ITERS", "10"))
+    losses = []
     t0 = time.time()
     for i in range(iters):
         state, loss = train_step(state, jax.random.fold_in(jax.random.PRNGKey(3), i), gt, x2d)
+        losses.append(loss)
+    # Each step's state input is the previous step's output, so forcing the
+    # last loss forces the whole chain by data dependence (no in-order
+    # execution assumption needed).
     lf = float(loss)
     ms = (time.time() - t0) / iters * 1000
-    assert jnp.isfinite(lf)
+    assert all(math.isfinite(float(l)) for l in losses)
+    assert math.isfinite(lf)
     print(
         f"{variant} B={b} F={frames}: {ms:.0f} ms/step = {b / ms * 1000:.1f} seq/s"
         f"  loss {l0:.4f}->{lf:.4f}  (compile {compile_s:.0f}s)"
