@@ -45,10 +45,15 @@ def grand_attention(q, k, v, scale=None):
 
 def _attend_tile(qf, kf, vf, scale, mask=None):
     """softmax(qf kf^T * scale [+ mask]) vf - vf for one [M, D] tile."""
+    # Pin the contraction precision by dtype: a global
+    # jax_default_matmul_precision=highest would force an fp32 contract on
+    # bf16 operands, which Mosaic rejects ("Bad lhs type").
+    prec = (jax.lax.Precision.DEFAULT if qf.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     logits = jax.lax.dot_general(
         qf, kf,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ) * scale
     if mask is not None:
         logits = logits + mask
@@ -58,7 +63,7 @@ def _attend_tile(qf, kf, vf, scale, mask=None):
     out = jax.lax.dot_general(
         probs.astype(vf.dtype), vf,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     return out - vf.astype(jnp.float32)
 

@@ -42,6 +42,20 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
 
 
+def _dot_f32(a, b, dims):
+    """dot_general with f32 accumulation and the contraction precision
+    pinned by operand dtype: bf16 operands contract in bf16 (DEFAULT —
+    a global jax_default_matmul_precision=highest would otherwise force an
+    fp32 contract, which Mosaic rejects: 'Bad lhs type'); f32 operands
+    contract at HIGHEST (exact f32 via multi-pass) so the full-precision
+    fused path does not silently degrade to one bf16 MXU pass."""
+    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
 def _layernorm_rows(x, scale, bias, eps=1e-6):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -75,11 +89,9 @@ def _fused_attn_block_kernel(
         xs = x_ref[rows, :]
         xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
         qkv = (
-            jax.lax.dot_general(
-                xn, wqkv_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            _dot_f32(
+            xn, wqkv_ref[...], ((1,), (0,)),
+        )
             + bqkv.astype(jnp.float32)
         ).astype(xs.dtype)
 
@@ -88,30 +100,24 @@ def _fused_attn_block_kernel(
             q = qkv[:, h * d:(h + 1) * d]
             k = qkv[:, c + h * d: c + (h + 1) * d]
             v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
-            logits = jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
+            logits = _dot_f32(
+            q, k, ((1,), (1,)),
+        ) * scale
             if mask is not None:
                 logits = logits + mask
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             probs = jnp.exp(logits)
             probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-            av = jax.lax.dot_general(
-                probs.astype(v.dtype), v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            av = _dot_f32(
+            probs.astype(v.dtype), v, ((1,), (0,)),
+        )
             head_outs.append(av - v.astype(jnp.float32))
         attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
 
         proj = (
-            jax.lax.dot_general(
-                attn_out, wproj_ref[...],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            _dot_f32(
+            attn_out, wproj_ref[...], ((1,), (0,)),
+        )
             + bproj.astype(jnp.float32)
         )
         o_ref[rows, :] = (xs.astype(jnp.float32) + proj).astype(o_ref.dtype)
@@ -162,10 +168,8 @@ def _fused_full_block_kernel(
         onehot = (
             bidx == jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
         ).astype(jnp.float32)
-        return jax.lax.dot_general(
-            onehot, ref[...].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return _dot_f32(
+            onehot, ref[...].astype(jnp.float32), ((1,), (0,)),
         )
 
     def time_rows(first_row, rows):
@@ -202,9 +206,8 @@ def _fused_full_block_kernel(
         oln_b = oln_b_ref[...].reshape(c)
 
     def dot(a, w):
-        return jax.lax.dot_general(
-            a, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return _dot_f32(
+            a, w, ((1,), (0,)),
         )
 
     def attend_tile(qkv):
@@ -213,10 +216,9 @@ def _fused_full_block_kernel(
             q = qkv[:, h * d:(h + 1) * d]
             k = qkv[:, c + h * d: c + (h + 1) * d]
             v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
-            logits = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
+            logits = _dot_f32(
+            q, k, ((1,), (1,)),
+        ) * scale
             if mask is not None:
                 logits = logits + mask
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
@@ -530,10 +532,8 @@ def _fused_temporal_group_kernel(
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (1, bsz), 1) == bidx
         ).astype(jnp.float32)
-        return jax.lax.dot_general(
-            onehot, ref[...].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return _dot_f32(
+            onehot, ref[...].astype(jnp.float32), ((1,), (0,)),
         )
 
     xs = x_ref[...]
@@ -561,9 +561,8 @@ def _fused_temporal_group_kernel(
     b2 = b2_ref[...].reshape(c)
 
     def dot(a, w):
-        return jax.lax.dot_general(
-            a, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        return _dot_f32(
+            a, w, ((1,), (0,)),
         )
 
     xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
@@ -574,9 +573,8 @@ def _fused_temporal_group_kernel(
         q = qkv[:, h * d:(h + 1) * d]
         k = qkv[:, c + h * d: c + (h + 1) * d]
         v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        logits = _dot_f32(
+            q, k, ((1,), (1,)),
         ) * scale
         if mask is not None:
             logits = logits + mask

@@ -67,14 +67,30 @@ def main():
 
     runner = Runner(cfg, test_ds.num_joints, test_ds.joints_left, test_ds.joints_right)
     runner.set_params(runner.init_params())
-    t0 = time.time()
-    fit = runner.fit(train_ds, val_ds)
-    print(f"trained {len(fit['losses_train'])} epochs in {time.time() - t0:.0f}s, "
-          f"best val MPJPE {fit['min_loss']:.3f} mm")
+    best = os.path.join(cfg.checkpoint, "best_epoch")
+    if os.environ.get("STUDY_REUSE", "1") == "1" and os.path.isdir(best):
+        from diff3dhpe_tpu.io.checkpoint import restore_checkpoint
+
+        runner.state, meta = restore_checkpoint(best, runner.state)
+        fit = dict(min_loss=meta.get("min_loss", float("nan")))
+        print(f"reused checkpoint {best} (epoch {meta['epoch']}, "
+              f"best val MPJPE {fit['min_loss']:.3f} mm)")
+    else:
+        t0 = time.time()
+        fit = runner.fit(train_ds, val_ds)
+        print(f"trained {len(fit['losses_train'])} epochs in {time.time() - t0:.0f}s, "
+              f"best val MPJPE {fit['min_loss']:.3f} mm")
 
     params = runner.state.params
 
-    # Evaluate the SAME weights through each inference path at DDIM_EVAL.
+    # Evaluate the SAME weights through each inference path at DDIM_EVAL:
+    # (a) the full test-set metric protocol, and (b) RAW prediction
+    # deviations on fixed batches — identical x_T noise via the per-row
+    # keyed draw, so any difference is purely the numerics of the path.
+    # The val batch (train subjects, memorised by the model) gives interior
+    # (non-clip-saturated) predictions; clip_frac reports how much of the
+    # test-batch output sits on the clip_denoised +-1 boundary, where
+    # deviations are clamped away.
     results = {}
     variants = [
         ("flax_f32", dict(fast_eval=False, compute_dtype="float32",
@@ -82,6 +98,11 @@ def main():
         ("fast_f32", dict(fast_eval=True, compute_dtype="float32")),
         ("fast_bf16", dict(fast_eval=True, compute_dtype="bfloat16")),
     ]
+    fixed = {
+        "test": next(iter(test_ds.batches(BATCH))),
+        "val": next(iter(val_ds.batches(BATCH))),
+    }
+    raw_preds = {s: {} for s in fixed}
     for name, patch in variants:
         vcfg = cfg.replace(sampling_timesteps=DDIM_EVAL, **patch)
         vrunner = Runner(vcfg, test_ds.num_joints, test_ds.joints_left,
@@ -90,6 +111,32 @@ def main():
         m = vrunner.evaluate(test_ds, key=jax.random.PRNGKey(123))
         results[name] = dict(e1=m["e1"], e2=m["e2"], e3=m["e3"], ev=m["ev"])
         print(f"{name}: MPJPE {m['e1']:.4f} mm  P-MPJPE {m['e2']:.4f} mm")
+        for split, b in fixed.items():
+            x2d = jnp.asarray(b.input_2d)
+            x2df = jnp.asarray(
+                b.input_2d_flip if b.input_2d_flip is not None else b.input_2d
+            )
+            pred = vrunner.eval_step(
+                vrunner.state.params, jax.random.PRNGKey(7), x2d, x2df
+            )
+            raw_preds[split][name] = np.asarray(pred, np.float64)
+
+    deviations = {}
+    for split in fixed:
+        base_p = raw_preds[split]["flax_f32"]
+        to_mm = test_ds.reverse_norm_3d_pose
+        base_mm = to_mm(base_p) * 1000.0
+        clip_frac = float((np.abs(base_p) >= 0.999).mean())
+        deviations[split] = dict(clip_frac_flax=round(clip_frac, 4))
+        for name in raw_preds[split]:
+            if name == "flax_f32":
+                continue
+            d = to_mm(raw_preds[split][name]) * 1000.0 - base_mm
+            per_joint = np.linalg.norm(d, axis=-1)
+            deviations[split][name] = dict(
+                mean_joint_dev_mm=round(float(per_joint.mean()), 5),
+                max_coord_dev_mm=round(float(np.abs(d).max()), 5),
+            )
 
     base = results["flax_f32"]["e1"]
     table = {
@@ -99,6 +146,7 @@ def main():
         "deltas_vs_flax_f32_mm": {
             k: results[k]["e1"] - base for k in results
         },
+        "raw_prediction_deviation_vs_flax_f32": deviations,
     }
     with open(OUT, "w") as f:
         json.dump(table, f, indent=2)
