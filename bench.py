@@ -28,9 +28,13 @@ import time
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 DDIM_STEPS = int(os.environ.get("BENCH_DDIM", "9"))
 FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
-# bf16 activations (f32 params + f32 schedule math) measured 1.5x over f32
-# on v5e; set BENCH_DTYPE=float32 for the full-precision parity path.
-DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# Default dtype is chosen by the trained-weight accuracy budget (VERDICT
+# round-1 Next #2; scripts/accuracy_study.json): the fused f32 path
+# (default bf16 contracts, f32 activations/accumulation) is within the
+# 0.1 mm test-MPJPE budget (-0.066 mm); bf16 activations are 1.4x faster
+# (20.9 vs 14.7 seq/s) but exceed it (-0.144 mm, ~7 mm per-prediction
+# deviation) and stay an explicit opt-in: BENCH_DTYPE=bfloat16.
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 # Fused-kernel inference forward (models/fast_eval.py); 1.27x on v5e.
 FAST = os.environ.get("BENCH_FAST", "1") == "1"

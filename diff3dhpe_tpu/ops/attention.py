@@ -48,8 +48,10 @@ def _attend_tile(qf, kf, vf, scale, mask=None):
     # Pin the contraction precision by dtype: a global
     # jax_default_matmul_precision=highest would force an fp32 contract on
     # bf16 operands, which Mosaic rejects ("Bad lhs type").
+    from diff3dhpe_tpu.ops.fused_block import f32_contract_precision
+
     prec = (jax.lax.Precision.DEFAULT if qf.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+            else f32_contract_precision())
     logits = jax.lax.dot_general(
         qf, kf,
         dimension_numbers=(((1,), (1,)), ((), ())),

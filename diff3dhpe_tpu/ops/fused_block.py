@@ -42,15 +42,33 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
 
 
+_F32_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,   # 1 bf16 MXU pass
+    "highest": jax.lax.Precision.HIGHEST,   # exact f32 (multi-pass)
+}  # NOTE: Mosaic rejects Precision.HIGH ("Unsupported dot precision")
+
+
+def f32_contract_precision():
+    """Contraction precision for f32 operands inside the fused kernels.
+
+    Overridable via DIFF_FUSED_F32_PREC in {default, highest}
+    (read at trace time). The accuracy study (scripts/accuracy_study.py)
+    measures each mode's deviation from the flax parity path on trained
+    weights; see PERF.md for the measured accuracy/throughput trade."""
+    import os
+
+    return _F32_PRECISIONS[os.environ.get("DIFF_FUSED_F32_PREC", "default")]
+
+
 def _dot_f32(a, b, dims):
     """dot_general with f32 accumulation and the contraction precision
-    pinned by operand dtype: bf16 operands contract in bf16 (DEFAULT —
+    pinned per operand dtype: bf16 operands contract in bf16 (DEFAULT —
     a global jax_default_matmul_precision=highest would otherwise force an
-    fp32 contract, which Mosaic rejects: 'Bad lhs type'); f32 operands
-    contract at HIGHEST (exact f32 via multi-pass) so the full-precision
-    fused path does not silently degrade to one bf16 MXU pass."""
+    fp32 contract, which Mosaic rejects: 'Bad lhs type'); f32 operands use
+    f32_contract_precision() so the global flag cannot silently change the
+    fused path's numerics in either direction."""
     prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+            else f32_contract_precision())
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32, precision=prec,

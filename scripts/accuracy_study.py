@@ -92,25 +92,39 @@ def main():
     # test-batch output sits on the clip_denoised +-1 boundary, where
     # deviations are clamped away.
     results = {}
+    # (name, Config patch, DIFF_FUSED_F32_PREC) — the env var picks the
+    # fused kernels' f32 contraction mode (1/3/6 MXU passes) at trace time.
     variants = [
         ("flax_f32", dict(fast_eval=False, compute_dtype="float32",
-                          matmul_precision="highest")),
-        ("fast_f32", dict(fast_eval=True, compute_dtype="float32")),
-        ("fast_bf16", dict(fast_eval=True, compute_dtype="bfloat16")),
+                          matmul_precision="highest"), None),
+        ("fast_f32_mxdefault", dict(fast_eval=True, compute_dtype="float32"),
+         "default"),
+        ("fast_f32_mxhighest", dict(fast_eval=True, compute_dtype="float32"),
+         "highest"),
+        ("fast_bf16", dict(fast_eval=True, compute_dtype="bfloat16"), None),
     ]
     fixed = {
         "test": next(iter(test_ds.batches(BATCH))),
         "val": next(iter(val_ds.batches(BATCH))),
     }
-    raw_preds = {s: {} for s in fixed}
-    for name, patch in variants:
+    # Each variant runs in its OWN subprocess: re-tracing the same model
+    # with a different trace-time precision in one process trips a jax
+    # lowering-cache KeyError (closed_call/silu), and it also guarantees a
+    # clean jit cache per variant.
+    only = os.environ.get("STUDY_VARIANT")
+    outdir = os.path.join(os.path.dirname(OUT), "study_out")
+    os.makedirs(outdir, exist_ok=True)
+
+    def eval_variant(name, patch, f32_prec):
+        if f32_prec is not None:
+            os.environ["DIFF_FUSED_F32_PREC"] = f32_prec
         vcfg = cfg.replace(sampling_timesteps=DDIM_EVAL, **patch)
         vrunner = Runner(vcfg, test_ds.num_joints, test_ds.joints_left,
                          test_ds.joints_right)
         vrunner.set_params(params)
         m = vrunner.evaluate(test_ds, key=jax.random.PRNGKey(123))
-        results[name] = dict(e1=m["e1"], e2=m["e2"], e3=m["e3"], ev=m["ev"])
         print(f"{name}: MPJPE {m['e1']:.4f} mm  P-MPJPE {m['e2']:.4f} mm")
+        preds = {}
         for split, b in fixed.items():
             x2d = jnp.asarray(b.input_2d)
             x2df = jnp.asarray(
@@ -119,7 +133,29 @@ def main():
             pred = vrunner.eval_step(
                 vrunner.state.params, jax.random.PRNGKey(7), x2d, x2df
             )
-            raw_preds[split][name] = np.asarray(pred, np.float64)
+            preds[f"preds_{split}"] = np.asarray(pred, np.float64)
+        np.savez(os.path.join(outdir, f"{name}.npz"),
+                 e1=m["e1"], e2=m["e2"], e3=m["e3"], ev=m["ev"], **preds)
+
+    if only:
+        spec = next(v for v in variants if v[0] == only)
+        eval_variant(*spec)
+        return
+
+    import subprocess
+    for name, _, _ in variants:
+        env = dict(os.environ, STUDY_VARIANT=name, STUDY_REUSE="1")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        if r.returncode != 0:
+            raise RuntimeError(f"variant {name} failed (rc={r.returncode})")
+
+    raw_preds = {s: {} for s in fixed}
+    for name, _, _ in variants:
+        z = np.load(os.path.join(outdir, f"{name}.npz"))
+        results[name] = dict(e1=float(z["e1"]), e2=float(z["e2"]),
+                             e3=float(z["e3"]), ev=float(z["ev"]))
+        for split in fixed:
+            raw_preds[split][name] = z[f"preds_{split}"]
 
     deviations = {}
     for split in fixed:
