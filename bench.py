@@ -23,18 +23,19 @@ import os
 import sys
 import time
 
-# B=4 (8 rows with flip doubling) measured fastest per-seq with the fused
-# kernels on v5e: 20.6 seq/s vs 18.1 (B=8) / 15.2 (B=16) / 19.8 (B=2).
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 DDIM_STEPS = int(os.environ.get("BENCH_DDIM", "9"))
 FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
 # Default dtype is chosen by the trained-weight accuracy budget (VERDICT
 # round-1 Next #2; scripts/accuracy_study.json): the fused f32 path
 # (default bf16 contracts, f32 activations/accumulation) is within the
-# 0.1 mm test-MPJPE budget (-0.066 mm); bf16 activations are 1.4x faster
-# (20.9 vs 14.7 seq/s) but exceed it (-0.144 mm, ~7 mm per-prediction
+# 0.1 mm test-MPJPE budget (-0.066 mm); bf16 activations are 1.3x faster
+# (20.9 vs 15.8 seq/s) but exceed it (-0.144 mm, ~7 mm per-prediction
 # deviation) and stay an explicit opt-in: BENCH_DTYPE=bfloat16.
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+# Per-dtype fastest eval batch on v5e (B is the logical batch; flip-TTA
+# doubles the rows): f32 15.8 @ B=2 (15.7 @ B=1, 14.7 @ B=4, 12.1 @ B=8);
+# bf16 20.9 @ B=4 (18.1 @ B=8, 15.2 @ B=16, 19.8 @ B=2, round 1).
+BATCH = int(os.environ.get("BENCH_BATCH", "2" if DTYPE == "float32" else "4"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 # Fused-kernel inference forward (models/fast_eval.py); 1.27x on v5e.
 FAST = os.environ.get("BENCH_FAST", "1") == "1"

@@ -368,8 +368,12 @@ def fused_transformer_block(
     p = max(1, 128 // n8) if n8 <= 64 else 1
     tile_rows = p * n8
     # VMEM budget: keep the step's qkv buffer around ~3 MB (the weights are
-    # resident: ~4 MB bf16 / ~8 MB f32).
-    budget_rows = max(tile_rows, (3_100_000 // (3 * c * itemsize)) // 8 * 8 or tile_rows)
+    # resident: ~4 MB bf16 / ~8 MB f32). Drop-path training adds a
+    # step-wide [rows, 128] f32 one-hot product (~0.5 MB at 1000 rows),
+    # which tipped the bf16 sizing over the 16 MB scoped-vmem limit —
+    # shrink the budget accordingly.
+    budget_bytes = 3_100_000 - (700_000 if has_dp else 0)
+    budget_rows = max(tile_rows, (budget_bytes // (3 * c * itemsize)) // 8 * 8 or tile_rows)
     tiles = tiles_per_step
     while tile_rows * tiles > budget_rows and tiles > 1:
         tiles -= 1
