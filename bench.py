@@ -24,7 +24,10 @@ import sys
 import time
 
 DDIM_STEPS = int(os.environ.get("BENCH_DDIM", "9"))
-FRAMES, JOINTS, EMBED, DEPTH = 243, 17, 512, 8
+# 243 = the flagship H3.6M long config (the headline protocol); 81/27 are
+# the H3.6M-short / MPI-INF-3DHP configs for the all-config table.
+FRAMES = int(os.environ.get("BENCH_FRAMES", "243"))
+JOINTS, EMBED, DEPTH = 17, 512, 8
 # Default dtype is chosen by the trained-weight accuracy budget (VERDICT
 # round-1 Next #2; scripts/accuracy_study.json): the fused f32 path
 # (default bf16 contracts, f32 activations/accumulation) is within the
@@ -219,7 +222,8 @@ def measure_torch_baseline() -> float:
 def main():
     result = measure_tpu()
     try:
-        baseline = measure_torch_baseline()
+        # The cached torch baseline is the 243f protocol only.
+        baseline = measure_torch_baseline() if FRAMES == 243 else 0.0
         vs = result["seqs_per_sec_per_chip"] / baseline if baseline > 0 else 0.0
     except Exception as e:  # baseline is best-effort; the TPU number stands alone
         print(f"baseline measurement failed: {e}", file=sys.stderr)
@@ -235,7 +239,7 @@ def main():
     mfu = achieved_tflops / peak_tflops
 
     print(json.dumps(dict(
-        metric="pose_seqs_per_sec_per_chip_243f_ddim9_flipTTA",
+        metric=f"pose_seqs_per_sec_per_chip_{FRAMES}f_ddim{DDIM_STEPS}_flipTTA",
         value=round(result["seqs_per_sec_per_chip"], 3),
         unit="seq/s/chip",
         vs_baseline=round(vs, 2),
