@@ -229,6 +229,12 @@ def _fused_full_block_kernel(
         )
 
     def attend_tile(qkv):
+        # Per-head Python loop. A batched-dot variant (all heads in one
+        # dot_general pair over a (heads, tile, d) layout) fails to
+        # compile: Mosaic cannot split the lane dim in-register
+        # ((tile, C) -> (tile, heads, d) reshape = "unsupported shape
+        # cast"), and producing the (heads, ...) layout upstream would
+        # fragment the hoisted qkv GEMM. See PERF.md round-2 lever notes.
         head_outs = []
         for h in range(heads):
             q = qkv[:, h * d:(h + 1) * d]

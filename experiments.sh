@@ -21,5 +21,13 @@ python -m diff3dhpe_tpu.cli.run_3dhp --mesh-shape data:8 -lr 4e-4 --lr-decay 0.9
 #### Evaluation (DDIM-7; PCK/AUC computed in-framework, inference_data.mat also exported)
 python -m diff3dhpe_tpu.cli.run_3dhp --mesh-shape data:8 --batch-size-eval 512 --with_time_emb False --sampling_timesteps 7 --keypoints gt --ddim_sampling_eta 0 --stride 27 --number-of-frames 27 --clip_loss True -c checkpoint/3dhp/gt/f27/ --evaluate best_epoch --config configs/3dhp_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json
 
+### Production TPU recipe (round-2 fast paths)
+# --fast-train: fused Pallas training forward (custom VJP, 1.17x the remat
+#   step; gradients match flax to <1e-6). --fast-eval: fused inference
+#   kernels — the f32 default is inside the 0.1 mm accuracy budget
+#   (scripts/accuracy_study.json); add --compute-dtype bfloat16 for the
+#   1.3x throughput mode when the budget does not apply.
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval -lr 4e-4 --lr-decay 0.99 -b 24 -e 200 --timesteps 1000 --sampling_timesteps 5 --keypoints gt --stride 243 --number-of-frames 243 -c checkpoint/h36m/gt/f243_fast/ --config configs/h36m_gt_s2s_243f.json
+
 ### Visualisation
 python -m diff3dhpe_tpu.cli.viz --config configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json --evaluate best_epoch --viz-subject S11 --viz-action "Walking 1" --viz-camera 0 --viz-output viz_out
