@@ -60,6 +60,31 @@ def f32_contract_precision():
     return _F32_PRECISIONS[os.environ.get("DIFF_FUSED_F32_PREC", "default")]
 
 
+def gemm_storage_dtype(x_dtype):
+    """Storage dtype for the GEMM-side tensors (weights, qkv, attention and
+    MLP intermediates) inside the fused kernels.
+
+    For f32 activations under the DEFAULT contraction mode, the MXU
+    truncates matmul operands to bf16 anyway — so storing the GEMM-side
+    tensors in bf16 is near-identical math while halving their VMEM/HBM
+    footprint; the RESIDUAL STREAM (block inputs/outputs, h1) stays f32.
+    MEASURED NOT TO PAY on the eval protocol (15.0/14.3 vs 15.8/14.7 seq/s
+    at B=2/4 — the extra per-tile casts and the VMEM-budget haircut for
+    the double-width row blocks outweigh the footprint savings; the f32
+    path is not bandwidth-bound). Kept as an opt-in experiment:
+    DIFF_FUSED_F32_STORE=bf16, TPU only (on CPU the default contract is
+    exact f32, so the cast would change semantics and break the
+    interpret-mode parity tests)."""
+    import os
+
+    if (x_dtype == jnp.float32
+            and f32_contract_precision() == jax.lax.Precision.DEFAULT
+            and os.environ.get("DIFF_FUSED_F32_STORE", "f32") == "bf16"
+            and jax.default_backend() == "tpu"):
+        return jnp.bfloat16
+    return x_dtype
+
+
 def _dot_f32(a, b, dims):
     """dot_general with f32 accumulation and the contraction precision
     pinned per operand dtype: bf16 operands contract in bf16 (DEFAULT —
@@ -144,6 +169,7 @@ def _fused_attn_block_kernel(
 def _fused_full_block_kernel(
     x_ref, *refs,
     n, n8, heads, scale, tile_rows, tiles, out_ln, has_t, has_dp, rows_per_item,
+    cdt,
 ):
     """Whole transformer block per tile: attention residual + MLP residual,
     optionally followed by the model's inter-block LayerNorm (the
@@ -256,10 +282,12 @@ def _fused_full_block_kernel(
         attn_branch = dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)
         if s_attn is not None:
             attn_branch = attn_branch * s_attn
+        # h1 is the residual stream: keep it at the ACTIVATION dtype even
+        # when the GEMM-side tensors are stored in cdt=bf16.
         h1 = (xs.astype(jnp.float32) + attn_branch).astype(xs.dtype)
-        hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(xs.dtype)
+        hn = _layernorm_rows(h1, ln2_s, ln2_b).astype(cdt)
         mid = dot(hn, w1_ref[...]) + b1.astype(jnp.float32)
-        mid = _gelu_exact(mid).astype(xs.dtype)
+        mid = _gelu_exact(mid).astype(cdt)
         mlp_branch = dot(mid, w2_ref[...]) + b2.astype(jnp.float32)
         if s_mlp is not None:
             mlp_branch = mlp_branch * s_mlp
@@ -270,7 +298,7 @@ def _fused_full_block_kernel(
 
     step_rows = tile_rows * tiles
     # Hoist when the step-wide qkv buffer fits comfortably in VMEM.
-    qkv_bytes = step_rows * 3 * c * jnp.dtype(x_ref.dtype).itemsize
+    qkv_bytes = step_rows * 3 * c * jnp.dtype(cdt).itemsize
     if step_rows <= 1024 and qkv_bytes <= 6_400_000:
         # Hoist the step-wide GEMMs (one M=step_rows MXU call each, less
         # M-padding waste); only the attention runs per 128-row tile.
@@ -280,12 +308,12 @@ def _fused_full_block_kernel(
                 xs_all.astype(jnp.float32) + time_rows(row0, step_rows)
             ).astype(xs_all.dtype)
         s_attn, s_mlp = dp_rows(row0, step_rows) if has_dp else (None, None)
-        xn_all = _layernorm_rows(xs_all, ln_s, ln_b).astype(xs_all.dtype)
-        qkv_all = (dot(xn_all, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs_all.dtype)
+        xn_all = _layernorm_rows(xs_all, ln_s, ln_b).astype(cdt)
+        qkv_all = (dot(xn_all, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(cdt)
         attn_out = jnp.concatenate(
             [attend_tile(qkv_all[t * tile_rows:(t + 1) * tile_rows, :]) for t in range(tiles)],
             axis=0,
-        ).astype(xs_all.dtype)
+        ).astype(cdt)
         o_ref[...] = mlp_residual(xs_all, attn_out, s_attn, s_mlp).astype(o_ref.dtype)
     else:
         # Long-sequence tiles: step-wide buffers would exceed VMEM; keep the
@@ -300,9 +328,9 @@ def _fused_full_block_kernel(
             s_attn, s_mlp = (
                 dp_rows(row0 + t * tile_rows, tile_rows) if has_dp else (None, None)
             )
-            xn = _layernorm_rows(xs, ln_s, ln_b).astype(xs.dtype)
-            qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(xs.dtype)
-            attn_out = attend_tile(qkv).astype(xs.dtype)
+            xn = _layernorm_rows(xs, ln_s, ln_b).astype(cdt)
+            qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(cdt)
+            attn_out = attend_tile(qkv).astype(cdt)
             o_ref[rows, :] = mlp_residual(xs, attn_out, s_attn, s_mlp).astype(o_ref.dtype)
 
 
@@ -371,15 +399,21 @@ def fused_transformer_block(
         dp_pad = jnp.zeros((bsz, 128), jnp.float32)
         dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
 
+    cdt = gemm_storage_dtype(x.dtype)
+    cdt_itemsize = jnp.dtype(cdt).itemsize
+
     p = max(1, 128 // n8) if n8 <= 64 else 1
     tile_rows = p * n8
     # VMEM budget: keep the step's qkv buffer around ~3 MB (the weights are
     # resident: ~4 MB bf16 / ~8 MB f32). Drop-path training adds a
     # step-wide [rows, 128] f32 one-hot product (~0.5 MB at 1000 rows),
     # which tipped the bf16 sizing over the 16 MB scoped-vmem limit —
-    # shrink the budget accordingly.
-    budget_bytes = 3_100_000 - (700_000 if has_dp else 0)
-    budget_rows = max(tile_rows, (budget_bytes // (3 * c * itemsize)) // 8 * 8 or tile_rows)
+    # shrink the budget accordingly. The mixed mode (f32 rows + bf16
+    # GEMM-side storage) carries double-width row blocks next to the bf16
+    # buffers, so it also gets a haircut.
+    mixed = cdt_itemsize != itemsize
+    budget_bytes = 3_100_000 - (700_000 if has_dp else 0) - (800_000 if mixed else 0)
+    budget_rows = max(tile_rows, (budget_bytes // (3 * c * cdt_itemsize)) // 8 * 8 or tile_rows)
     tiles = tiles_per_step
     while tile_rows * tiles > budget_rows and tiles > 1:
         tiles -= 1
@@ -422,6 +456,7 @@ def fused_transformer_block(
             _fused_full_block_kernel, n=n, n8=n8, heads=heads, scale=scale,
             tile_rows=tile_rows, tiles=tiles, out_ln=out_ln,
             has_t=has_t, has_dp=has_dp, rows_per_item=rows_per_item,
+            cdt=cdt,
         ),
         grid=(r2 // step_rows,),
         in_specs=[
@@ -448,15 +483,15 @@ def fused_transformer_block(
         *opt_inputs,
         block_params["norm1"]["scale"].reshape(1, c),
         block_params["norm1"]["bias"].reshape(1, c),
-        attn["qkv"]["kernel"].astype(x.dtype),
+        attn["qkv"]["kernel"].astype(cdt),
         bias_of(attn["qkv"], 3 * c).reshape(1, 3 * c),
-        attn["proj"]["kernel"].astype(x.dtype),
+        attn["proj"]["kernel"].astype(cdt),
         bias_of(attn["proj"], c).reshape(1, c),
         block_params["norm2"]["scale"].reshape(1, c),
         block_params["norm2"]["bias"].reshape(1, c),
-        mlp["fc1"]["kernel"].astype(x.dtype),
+        mlp["fc1"]["kernel"].astype(cdt),
         bias_of(mlp["fc1"], hidden).reshape(1, hidden),
-        mlp["fc2"]["kernel"].astype(x.dtype),
+        mlp["fc2"]["kernel"].astype(cdt),
         bias_of(mlp["fc2"], c).reshape(1, c),
         oln_s, oln_b,
     )
