@@ -348,6 +348,16 @@ class Runner:
         n = 0
         model_time = 0.0
         predictions = []
+        # Compile warm-up OUTSIDE the timed path: remote-TPU compiles take
+        # minutes and would otherwise dominate the reported inference_speed
+        # (the batches are fixed-shape, so one batch compiles the program).
+        for b in test_ds.batches(cfg.batch_size_eval):
+            x2d = jnp.asarray(b.input_2d)
+            x2d_flip = jnp.asarray(
+                b.input_2d_flip if b.input_2d_flip is not None else b.input_2d
+            )
+            np.asarray(self.eval_step(self.state.params, key, x2d, x2d_flip))
+            break
         for b in test_ds.batches(cfg.batch_size_eval):
             key, sub = jax.random.split(key)
             x2d = jnp.asarray(b.input_2d)
