@@ -95,6 +95,10 @@ def fast_forward_denoise(
     if temporal_mode == "legacy":
         # Round-1 structure (A/B reference): unpadded frame-major tokens,
         # XLA time-emb adds, per-block transpose + in-kernel pad/unpad.
+        assert dp_scales is None, (
+            "legacy temporal_mode is an eval-only A/B reference; use "
+            "'rows' or 'cols' for drop-path training"
+        )
         l = f * p
         x = x.reshape(b, l, c)
         x = x + jnp.tile(params["spatial_pos_embed"][0], (f, 1)).astype(x.dtype)
