@@ -235,7 +235,11 @@ def main():
     # roofline gap instead, see PERF.md).
     flops_per_seq = 2 * DDIM_STEPS * analytic_model_flops()  # flip-TTA doubles
     achieved_tflops = flops_per_seq * result["seqs_per_sec_per_chip"] / 1e12
-    peak_tflops = 394.0 if DTYPE == "bfloat16" else 197.0  # v5e per chip
+    # v5e peak is ~197 TFLOP/s bf16 per chip (394 is the INT8 TOPS figure —
+    # round-2 used it for bf16 by mistake, understating bf16 MFU 2x). The
+    # f32 path also divides by the bf16 peak: its fused kernels contract via
+    # bf16 MXU passes (DIFF_FUSED_F32_PREC=default), so 197 is its roofline.
+    peak_tflops = 197.0
     mfu = achieved_tflops / peak_tflops
 
     print(json.dumps(dict(

@@ -349,14 +349,17 @@ class Runner:
         model_time = 0.0
         predictions = []
         # Compile warm-up OUTSIDE the timed path: remote-TPU compiles take
-        # minutes and would otherwise dominate the reported inference_speed
-        # (the batches are fixed-shape, so one batch compiles the program).
+        # minutes and would otherwise dominate the reported inference_speed.
+        # Batches are fixed-shape (the final partial batch is row-padded,
+        # Dataset.batches), so ONE batch compiles the single program; the
+        # warm-up uses a throwaway key so the timed pass sees fresh draws.
         for b in test_ds.batches(cfg.batch_size_eval):
             x2d = jnp.asarray(b.input_2d)
             x2d_flip = jnp.asarray(
                 b.input_2d_flip if b.input_2d_flip is not None else b.input_2d
             )
-            np.asarray(self.eval_step(self.state.params, key, x2d, x2d_flip))
+            warm_key = jax.random.fold_in(key, 0xC0FFEE)
+            np.asarray(self.eval_step(self.state.params, warm_key, x2d, x2d_flip))
             break
         for b in test_ds.batches(cfg.batch_size_eval):
             key, sub = jax.random.split(key)
@@ -368,8 +371,12 @@ class Runner:
             pred_norm = self.eval_step(self.state.params, sub, x2d, x2d_flip)
             # np.asarray is a full host transfer: a true device barrier on
             # every backend (block_until_ready is unreliable on relay TPUs).
-            pred = test_ds.reverse_norm_3d_pose(np.asarray(pred_norm))
+            # model_time covers device work + the transfer only; the host-side
+            # unnormalise happens OUTSIDE the window, matching the reference's
+            # model-call-only timing (run.py:575,592-593).
+            pred_norm_host = np.asarray(pred_norm)
             model_time += time.time() - t0
+            pred = test_ds.reverse_norm_3d_pose(pred_norm_host)
 
             mask = (b.target_mask & b.row_mask[:, None]).reshape(-1)
             pred_f = pred.reshape(-1, self.num_joints, 3)[mask]

@@ -199,6 +199,14 @@ def make_train_step(
         from jax.sharding import PartitionSpec as P
 
         def train_step(state: TrainState, key, gt_3d_norm, input_2d):
+            if gt_3d_norm.shape[0] % data_size:
+                raise ValueError(
+                    f"global batch {gt_3d_norm.shape[0]} does not divide the "
+                    f"mesh's data axis ({data_size}); the shard_map fast-train "
+                    f"path needs batch_size to be a multiple of the data-axis "
+                    f"size — adjust batch_size or the mesh"
+                )
+
             def body(params, gt_l, x2d_l):
                 idx = jax.lax.axis_index("data")
                 diff_key, dropout_key = jax.random.split(jax.random.fold_in(key, idx))
@@ -335,6 +343,12 @@ def make_eval_step(
 
         def eval_step(params, key, input_2d, input_2d_flip):
             total = input_2d.shape[0]
+            if total % data_size:
+                raise ValueError(
+                    f"eval batch {total} does not divide the mesh's data axis "
+                    f"({data_size}); the shard_map eval path would silently "
+                    f"drop rows — adjust batch_size_eval or the mesh"
+                )
             local_b = total // data_size
 
             def body_fn(p, x, xf):

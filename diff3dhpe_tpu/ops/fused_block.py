@@ -182,10 +182,12 @@ def _fused_full_block_kernel(
     rows_per_item (padding rows map past B and get zero). This removes one
     full HBM round trip per block that XLA cannot fuse into a custom call.
 
-    ``has_dp``: drop-path (stochastic depth) training support — dp_ref is
-    [B, 128] with the attention-branch scale in column 0 and the MLP-branch
-    scale in column 1 (each 0 or 1/keep_prob); residual branches are scaled
-    per sample, matching flax DropPath semantics.
+    ``has_dp``: drop-path (stochastic depth) training support — dp_ref is a
+    PER-ROW [step_rows, 128] block riding the same grid as x (attention-
+    branch scale in column 0, MLP-branch scale in column 1, each 0 or
+    1/keep_prob). The caller materialises one row per token row, so any
+    granularity — per sample, or flax DropPath's per (sample, frame) /
+    (sample, joint) row-group draws — is expressible.
 
     t_ref/dp_ref are passed ONLY when has_t/has_dp (an unused input still
     costs a per-call VMEM fetch, measured on the eval hot path).

@@ -159,6 +159,43 @@ def test_eval_step_mesh_size_invariance():
     np.testing.assert_allclose(o8_sm, o1, atol=1e-5)
 
 
+def test_shard_map_paths_reject_indivisible_batch():
+    """A batch that does not divide the data axis must raise a clear error
+    instead of silently truncating rows (eval) or failing with an opaque
+    shard_map sharding error (fast train)."""
+    import dataclasses
+
+    from diff3dhpe_tpu.engine.steps import (
+        make_eval_step,
+        make_fast_train_denoise_fn,
+        make_train_step,
+    )
+
+    mesh = make_mesh("data:8")
+    model, diffusion, params = _build(mesh)
+    jl, jr = [4, 5, 6, 11, 12, 13], [1, 2, 3, 14, 15, 16]
+
+    eval_step = make_eval_step(diffusion, jl, jr, mesh=mesh, shard_map_batch=True)
+    x2d = jax.random.normal(jax.random.PRNGKey(1), (12, 9, 17, 2))  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="does not divide"):
+        eval_step(params, jax.random.PRNGKey(2), x2d, x2d)
+
+    fast = dataclasses.replace(
+        diffusion,
+        denoise_fn=make_fast_train_denoise_fn(
+            num_frame=9, num_joints=17, depth=1, num_heads=8,
+            with_time_emb=True, mode="s2s", dtype=jnp.float32,
+            drop_path_rate=0.0,
+        ),
+    )
+    opt = make_optimizer(1e-4, 0.99, steps_per_epoch=10)
+    state = build_train_state(params, opt)
+    step = make_train_step(fast, opt, mesh=mesh)
+    gt = jax.random.normal(jax.random.PRNGKey(3), (12, 9, 17, 3))
+    with pytest.raises(ValueError, match="does not divide"):
+        step(state, jax.random.PRNGKey(4), gt, x2d)
+
+
 def test_eval_step_tta_false_single_pass():
     """tta=False must run ONE sampling pass and never mix in a mirrored
     prediction (the round-1 bug silently averaged pred with flip(pred of the
