@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-root", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="run on generated synthetic data (smoke/demo)")
+    parser.add_argument("--synthetic-motion", type=str, default="walk",
+                        choices=["walk", "latent"],
+                        help="synthetic motion model: 'walk' (unstructured, "
+                             "pipeline coverage) or 'latent' (learnable "
+                             "manifold motion for convergence studies)")
     parser.add_argument("--fast-eval", action="store_true",
                         help="fused-kernel inference path for evaluation")
     parser.add_argument("--fast-train", action="store_true",

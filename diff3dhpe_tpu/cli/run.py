@@ -57,6 +57,7 @@ def main(argv=None):
             subjects=all_subjects,
             n_frames=max(4 * cfg.number_of_frames, 100),
             seed=cfg.seed,
+            motion=getattr(args, "synthetic_motion", "walk"),
         )
     elif cfg.dataset == "h36m":
         dataset = Human36mDataset(f"{cfg.data_root}/data_3d_{cfg.dataset}.npz")

@@ -11,6 +11,15 @@ index in chunking.py. Differences by design:
   rather than the process-global RNG.
 - The shuffle RNG state is exposed for checkpoint/resume (the reference
   pickles the generator's RandomState into its checkpoints, run.py:457).
+
+Lineage note: PoseDataset._prepare_data/_fetch are PARITY-CONSTRAINED ports
+of load_noisy_data.py:115-230 (itself derived from VideoPose3D's run.py
+fetch loops, MIT licence) — the camera-space preparation, keypoint
+truncation asserts, subset/downsample selection and the
+deterministic_random subset offset must execute in the reference's exact
+order or the chunk index (and therefore every published-number comparison)
+silently shifts. They are kept loop-for-loop on purpose and tested
+bit-exactly via tests/test_chunking.py + tests/test_datasets.py.
 """
 from __future__ import annotations
 

@@ -22,7 +22,14 @@ import copy
 
 
 def _random_walk_poses(rng, n_frames, n_joints=17):
-    """Smooth world-space poses around the S1 capture volume (~m units)."""
+    """Smooth world-space poses around the S1 capture volume (~m units).
+
+    NOTE: per-joint walks are UNLEARNABLE as a 2D->3D lifting task — depth
+    has no pose prior to be inferred from, so a converged model stalls near
+    the ~1 m depth spread (the round-2 accuracy study's 954 mm). Use them
+    for pipeline/shape coverage; use motion="latent" where the evidence
+    needs a model that actually learns (accuracy gating, convergence
+    studies)."""
     base = rng.normal(0.0, 0.4, (n_joints, 3)).astype(np.float64)
     base[:, 2] += 1.0  # above ground
     steps = rng.normal(0.0, 0.01, (n_frames, n_joints, 3))
@@ -31,11 +38,44 @@ def _random_walk_poses(rng, n_frames, n_joints=17):
     return (base[None] + walk + drift).astype(np.float32)
 
 
+def _make_pose_manifold(rng, n_joints=17, latent_dim=8):
+    """Fixed low-dimensional pose manifold: a global mean pose plus a
+    latent->pose linear decoder, shared by every sequence in the dataset —
+    the synthetic analogue of the anthropometric prior that makes monocular
+    depth inferable on real mocap. Each basis direction is unit-Frobenius."""
+    mean = rng.normal(0.0, 0.25, (n_joints, 3))
+    mean[:, 2] += 1.0  # above ground
+    w = rng.normal(0.0, 1.0, (latent_dim, n_joints, 3))
+    w /= np.linalg.norm(w.reshape(latent_dim, -1), axis=1).reshape(-1, 1, 1)
+    return mean, w
+
+
+def _latent_motion_poses(rng, n_frames, mean, w, amp=0.3):
+    """LEARNABLE smooth motion: a bounded sinusoid-mixture latent trajectory
+    decoded through the fixed manifold. The 2D projection of 17 joints
+    overdetermines the ~8 latent coordinates, so the 3D pose (including
+    depth) is exactly recoverable from one camera's 2D — a converged lifter
+    lands at tens of mm, giving the accuracy gate a meaningful operating
+    point (VERDICT round-2 Next #2)."""
+    latent_dim = w.shape[0]
+    t = np.arange(n_frames, dtype=np.float64)[:, None]
+    # 2-3 sinusoids per latent dim with random freq/phase/amplitude.
+    z = np.zeros((n_frames, latent_dim))
+    for _ in range(3):
+        freqs = rng.uniform(0.004, 0.06, (1, latent_dim)) * 2 * np.pi
+        phases = rng.uniform(0.0, 2 * np.pi, (1, latent_dim))
+        amps = rng.uniform(0.2, 1.0, (1, latent_dim))
+        z += np.sin(freqs * t + phases) * amps
+    z *= amp / np.sqrt(3.0)
+    poses = mean[None] + np.einsum("tk,kjc->tjc", z, w)
+    return poses.astype(np.float32)
+
+
 class SyntheticH36MDataset(MocapDataset):
     """Drop-in Human36mDataset substitute backed by synthetic motion."""
 
     def __init__(self, subjects=("S1", "S5", "S9"), actions=("Walking 1", "Posing 1"),
-                 n_frames=150, seed=0, n_joints=17):
+                 n_frames=150, seed=0, n_joints=17, motion="walk"):
         # 17-joint skeleton = reference skeleton after static-joint removal.
         skel = copy.deepcopy(h36m_skeleton)
         skel.remove_joints([4, 5, 9, 10, 11, 16, 20, 21, 22, 23, 24, 28, 29, 30, 31])
@@ -47,10 +87,17 @@ class SyntheticH36MDataset(MocapDataset):
         self._cameras = build_h36m_cameras()
         self._data = {}
         all_pos_3d = []
+        # motion="latent": every sequence rides ONE fixed low-dim manifold
+        # (drawn once here), so 2D->3D lifting is learnable; "walk" keeps the
+        # unstructured per-joint walks for pipeline/shape coverage.
+        manifold = _make_pose_manifold(rng, n_joints) if motion == "latent" else None
         for subject in subjects:
             self._data[subject] = {}
             for action in actions:
-                positions = _random_walk_poses(rng, n_frames, n_joints)
+                if motion == "latent":
+                    positions = _latent_motion_poses(rng, n_frames, *manifold)
+                else:
+                    positions = _random_walk_poses(rng, n_frames, n_joints)
                 self._data[subject][action] = {
                     "positions": positions,
                     "cameras": self._cameras[subject],
@@ -67,10 +114,12 @@ class SyntheticH36MDataset(MocapDataset):
 
 
 def make_synthetic_h36m_like(subjects=("S1", "S5", "S9"), actions=("Walking 1", "Posing 1"),
-                             n_frames=150, seed=0):
+                             n_frames=150, seed=0, motion="walk"):
     """Returns (dataset, keypoints_data) where keypoints_data mimics the
-    data_2d_*.npz archive (projected GT 2D in pixel coordinates + metadata)."""
-    dataset = SyntheticH36MDataset(subjects, actions, n_frames, seed)
+    data_2d_*.npz archive (projected GT 2D in pixel coordinates + metadata).
+    ``motion="latent"`` generates LEARNABLE manifold motion (converged MPJPE
+    lands at tens of mm) for accuracy gating and convergence studies."""
+    dataset = SyntheticH36MDataset(subjects, actions, n_frames, seed, motion=motion)
 
     positions_2d = {}
     for subject in subjects:

@@ -135,7 +135,10 @@ def make_fast_train_denoise_fn(
                 depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
                 mode=mode, dtype=dtype, temporal_mode=temporal_mode,
             )
-        dp = draw_drop_path_scales(dropout_key, x.shape[0], depth, drop_path_rate)
+        dp = draw_drop_path_scales(
+            dropout_key, x.shape[0], depth, drop_path_rate,
+            num_frame=num_frame, num_joints=num_joints,
+        )
         return fast_forward_denoise_train(params, x, t, dp, cfg)
 
     denoise_fn.uses_pallas = True

@@ -55,6 +55,13 @@ def p_mpjpe(predicted, target):
     """Protocol #2: MPJPE after rigid (Procrustes) alignment. Host NumPy.
 
     predicted/target: (N, J, 3).
+
+    Lineage: this is the standard numpy orthogonal-Procrustes alignment as
+    published in VideoPose3D (MIT licence, facebookresearch/VideoPose3D
+    common/loss.py) and carried verbatim by the reference (loss.py:43-82);
+    it is kept step-identical on purpose — Protocol #2 numbers are only
+    comparable if the reflection-fix and scale conventions match exactly.
+    The TPU-native batched variant is :func:`p_mpjpe_device` below.
     """
     assert predicted.shape == target.shape
 

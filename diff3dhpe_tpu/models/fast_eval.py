@@ -72,10 +72,14 @@ def fast_forward_denoise(
     winner on v5e, see PERF.md). The per-block diffusion-time add is fused
     into each kernel's load.
 
-    ``dp_scales`` [2*depth, B, 2] f32 (block k: ste_i at 2i, tte_i at 2i+1;
-    last dim = attention/MLP branch) applies per-sample drop-path residual
-    scales for stochastic-depth training — see fast_forward_denoise_train
-    for the differentiable wrapper.
+    ``dp_scales`` = (dp_spatial [depth, B, F, 2], dp_temporal [depth, B, J, 2])
+    f32 drop-path residual scales for stochastic-depth training (last dim =
+    attention/MLP branch). Granularity matches flax DropPath (and the
+    reference's timm DropPath): one draw per attention GROUP — per
+    (sample, frame) for spatial blocks, per (sample, joint) for temporal
+    blocks (models/mixste.py DropPath mask shape (tokens.shape[0], 1, 1)
+    over the reshaped (b*f, p, c) / (b*p, f, c) token batches). See
+    fast_forward_denoise_train for the differentiable wrapper.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -141,6 +145,25 @@ def fast_forward_denoise(
     rows_item = f8 * p
     x_flat = x.reshape(b * rows_item, c)
 
+    dp_sp, dp_tp = dp_scales if dp_scales is not None else (None, None)
+
+    def spatial_dp_rows(d_bf2):
+        """[B, F, 2] per-(sample,frame) scales -> per-row [B*F8*J, 2] in the
+        spatial-major row order (b, f8, j); pad frames get zeros (their
+        outputs are garbage that never leaks)."""
+        if f8 != f:
+            d_bf2 = jnp.pad(d_bf2, ((0, 0), (0, f8 - f), (0, 0)))
+        return jnp.broadcast_to(
+            d_bf2[:, :, None, :], (b, f8, p, 2)
+        ).reshape(b * rows_item, 2)
+
+    def temporal_dp_rows(d_bj2):
+        """[B, J, 2] per-(sample,joint) scales -> per-row [B*J*F8, 2] in the
+        transposed frame-major row order (b, j, f8)."""
+        return jnp.broadcast_to(
+            d_bj2[:, :, None, :], (b, p, f8, 2)
+        ).reshape(b * rows_item, 2)
+
     def xla_time_add(x_flat, t_i):
         """Fallback time-embedding add between kernels (fuse_time=False)."""
         return (x_flat.reshape(b, rows_item, c) + t_i[:, None].astype(x_flat.dtype)
@@ -152,8 +175,7 @@ def fast_forward_denoise(
         t_i = None
         if t is not None and "time_proj" in block_s:
             t_i = _dense(block_s["time_proj"], jax.nn.silu(t).astype(dtype))
-        dp_s = dp_scales[2 * i] if dp_scales is not None else None
-        dp_t = dp_scales[2 * i + 1] if dp_scales is not None else None
+        dp_s = spatial_dp_rows(dp_sp[i]) if dp_sp is not None else None
         if t_i is not None and not fuse_time:
             x_flat = xla_time_add(x_flat, t_i)
             t_i = None
@@ -177,6 +199,7 @@ def fast_forward_denoise(
         if temporal_mode == "cols":
             # Column-strided BlockSpec: no transpose, but one group (M=f8)
             # per grid step — fewer rows per MXU call (see PERF.md).
+            dp_t = dp_tp[i].reshape(b * p, 2) if dp_tp is not None else None
             x_cols = fused_temporal_block_cols(
                 x_flat.reshape(b * f8, p * c), block_t, n=f, f8=f8, j_groups=p,
                 heads=num_heads, interpret=interpret, t_rows=t_i,
@@ -187,6 +210,7 @@ def fast_forward_denoise(
             # XLA transpose to frame-contiguous groups; groups stay f8-padded
             # (pre_padded_n8) so there is no per-block pad/unpad round trip,
             # and multiple groups batch into each hoisted-GEMM grid step.
+            dp_t = temporal_dp_rows(dp_tp[i]) if dp_tp is not None else None
             x_t = jnp.transpose(x_flat.reshape(b, f8, p, c), (0, 2, 1, 3))
             x_t = x_t.reshape(b * rows_item, c)
             x_t = fused_transformer_block(
@@ -253,8 +277,9 @@ def xla_forward_denoise(
         def branch_scale(col, y):
             if dp is None:
                 return y
-            # dp is [B, 2]; rows of tok belong to batch i // (rows/b).
-            s = jnp.repeat(dp[:, col], tok.shape[0] // b)
+            # dp is per attention group [B, G, 2] (G = F spatial / J
+            # temporal); tok rows are exactly the B*G groups in order.
+            s = dp[:, :, col].reshape(tok.shape[0])
             return y * s[:, None, None].astype(y.dtype)
 
         xn = _layernorm(bp["norm1"], tok, 1e-6)
@@ -282,9 +307,10 @@ def xla_forward_denoise(
         t = None
 
     x = x + params["spatial_pos_embed"][0][None, None].astype(x.dtype)
+    dp_sp, dp_tp = dp_scales if dp_scales is not None else (None, None)
     for i in range(depth):
-        dp_s = dp_scales[2 * i] if dp_scales is not None else None
-        dp_t = dp_scales[2 * i + 1] if dp_scales is not None else None
+        dp_s = dp_sp[i] if dp_sp is not None else None
+        dp_t = dp_tp[i] if dp_tp is not None else None
         x = block(params[f"ste_block_{i}"], x, True, t, dp_s)
         x = _layernorm(params["spatial_norm"], x, 1e-6)
         if i == 0:
@@ -348,21 +374,34 @@ def _fftrain_bwd(cfg, res, g):
     _, vjp = jax.vjp(ref_fn, params, x, time)
     d_params, d_x, d_time = vjp(g)
     # dp_scales is a sampled mask, not a learnable input.
-    return d_params, d_x, d_time, jnp.zeros_like(dp_scales)
+    return d_params, d_x, d_time, jax.tree.map(jnp.zeros_like, dp_scales)
 
 
 fast_forward_denoise_train.defvjp(_fftrain_fwd, _fftrain_bwd)
 
 
-def draw_drop_path_scales(key, batch: int, depth: int, drop_path_rate: float):
-    """[2*depth, B, 2] drop-path scales matching flax DropPath semantics:
-    rate for block pair i = linspace(0, drop_path_rate, depth)[i]; each
-    (block, branch, sample) draw is an independent Bernoulli(keep), scaled
-    1/keep when kept (models/mixste.py DropPath)."""
+def draw_drop_path_scales(
+    key, batch: int, depth: int, drop_path_rate: float,
+    num_frame: int, num_joints: int,
+):
+    """(dp_spatial [depth, B, F, 2], dp_temporal [depth, B, J, 2]) drop-path
+    scales matching flax DropPath semantics: rate for block pair i =
+    linspace(0, drop_path_rate, depth)[i]; one independent Bernoulli(keep)
+    draw per attention GROUP and residual branch — (sample, frame) for
+    spatial blocks, (sample, joint) for temporal blocks, exactly the
+    (tokens.shape[0], 1, 1) mask the flax module draws over the reshaped
+    (b*f, p, c) / (b*p, f, c) token batches (models/mixste.py DropPath;
+    reference timm DropPath in model_..._s2s...py:90-135) — scaled 1/keep
+    when kept."""
     import numpy as np
 
     rates = np.linspace(0.0, drop_path_rate, depth)
-    keep = jnp.asarray(np.repeat(1.0 - rates, 2), jnp.float32)  # [2*depth]
-    u = jax.random.uniform(key, (2 * depth, batch, 2))
-    k = keep[:, None, None]
-    return jnp.where(u < k, 1.0 / k, 0.0)
+    keep = jnp.asarray(1.0 - rates, jnp.float32)  # [depth]
+    k = keep[:, None, None, None]
+    k_sp, k_tp = jax.random.split(key)
+    u_sp = jax.random.uniform(k_sp, (depth, batch, num_frame, 2))
+    u_tp = jax.random.uniform(k_tp, (depth, batch, num_joints, 2))
+    return (
+        jnp.where(u_sp < k, 1.0 / k, 0.0),
+        jnp.where(u_tp < k, 1.0 / k, 0.0),
+    )

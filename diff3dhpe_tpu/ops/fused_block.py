@@ -221,9 +221,11 @@ def _fused_full_block_kernel(
     def time_rows(first_row, rows):
         return batch_rows(t_ref, first_row, rows)
 
-    def dp_rows(first_row, rows):
-        """((rows, 1), (rows, 1)) f32 drop-path scales for the two branches."""
-        dp = batch_rows(dp_ref, first_row, rows)
+    def dp_rows(rows):
+        """((rows, 1), (rows, 1)) f32 drop-path scales for the two branches.
+        dp_ref rides the row grid, so this is a plain slice (rows is a slice
+        into the step's rows, NOT a global row index)."""
+        dp = dp_ref[rows, :]
         return dp[:, 0:1], dp[:, 1:2]
 
     # Groups occupy n8 >= n rows per tile (n8 > n when groups were padded to
@@ -309,7 +311,7 @@ def _fused_full_block_kernel(
             xs_all = (
                 xs_all.astype(jnp.float32) + time_rows(row0, step_rows)
             ).astype(xs_all.dtype)
-        s_attn, s_mlp = dp_rows(row0, step_rows) if has_dp else (None, None)
+        s_attn, s_mlp = dp_rows(slice(None)) if has_dp else (None, None)
         xn_all = _layernorm_rows(xs_all, ln_s, ln_b).astype(cdt)
         qkv_all = (dot(xn_all, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(cdt)
         attn_out = jnp.concatenate(
@@ -327,9 +329,7 @@ def _fused_full_block_kernel(
                 xs = (
                     xs.astype(jnp.float32) + time_rows(row0 + t * tile_rows, tile_rows)
                 ).astype(xs.dtype)
-            s_attn, s_mlp = (
-                dp_rows(row0 + t * tile_rows, tile_rows) if has_dp else (None, None)
-            )
+            s_attn, s_mlp = dp_rows(rows) if has_dp else (None, None)
             xn = _layernorm_rows(xs, ln_s, ln_b).astype(cdt)
             qkv = (dot(xn, wqkv_ref[...]) + bqkv.astype(jnp.float32)).astype(cdt)
             attn_out = attend_tile(qkv).astype(cdt)
@@ -353,8 +353,12 @@ def fused_transformer_block(
     ``pre_padded_n8``: the caller's groups are ALREADY padded to this many
     rows (only the first n real; pad rows' outputs are garbage and stay in
     the pad slots) — skips the kernel's own pad/unpad round trip.
-    ``dp_scales`` [B, 2] f32 optionally applies per-sample drop-path scales
-    (attention branch, MLP branch) for stochastic-depth training."""
+    ``dp_scales`` [R, 2] f32 optionally applies PER-ROW drop-path scales
+    (attention branch, MLP branch) for stochastic-depth training — one row
+    per token row of x, so the caller controls the granularity (flax
+    DropPath draws per attention GROUP: per (sample, frame) for spatial
+    blocks, per (sample, joint) for temporal blocks — models/mixste.py
+    DropPath over the reshaped token batch)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -367,6 +371,10 @@ def fused_transformer_block(
         scale = d ** -0.5
 
     itemsize = jnp.dtype(x.dtype).itemsize
+
+    has_dp = dp_scales is not None
+    if has_dp:
+        assert dp_scales.shape == (r, 2), (dp_scales.shape, r)
 
     n8 = n
     if pre_padded_n8 is not None:
@@ -383,6 +391,10 @@ def fused_transformer_block(
         n8 = ((n + 7) // 8) * 8
         g = r // n
         x = jnp.pad(x.reshape(g, n, c), ((0, 0), (0, n8 - n), (0, 0))).reshape(g * n8, c)
+        if has_dp:
+            dp_scales = jnp.pad(
+                dp_scales.reshape(g, n, 2), ((0, 0), (0, n8 - n), (0, 0))
+            ).reshape(g * n8, 2)
         r_pad = g * n8
         if rows_per_item is not None:
             assert rows_per_item % n == 0
@@ -394,12 +406,6 @@ def fused_transformer_block(
     if not has_t:
         rows_per_item = r_pad if rows_per_item is None else rows_per_item
     assert rows_per_item is not None
-
-    has_dp = dp_scales is not None
-    if has_dp:
-        bsz = dp_scales.shape[0]
-        dp_pad = jnp.zeros((bsz, 128), jnp.float32)
-        dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
 
     cdt = gemm_storage_dtype(x.dtype)
     cdt_itemsize = jnp.dtype(cdt).itemsize
@@ -451,8 +457,15 @@ def fused_transformer_block(
         opt_inputs.append(t_rows.astype(x.dtype))
         opt_specs.append(full(*t_rows.shape))
     if has_dp:
+        # Per-row scales ride the row grid: pad rows to r2 like x, widen the
+        # 2 branch columns to a 128-lane block (cols 2.. are zero, unread).
+        dp_pad = jnp.pad(
+            dp_scales.astype(jnp.float32), ((0, r2 - r_pad), (0, 126))
+        )
         opt_inputs.append(dp_pad)
-        opt_specs.append(full(*dp_pad.shape))
+        opt_specs.append(
+            pl.BlockSpec((step_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
     out = pl.pallas_call(
         functools.partial(
             _fused_full_block_kernel, n=n, n8=n8, heads=heads, scale=scale,
@@ -589,13 +602,12 @@ def _fused_temporal_group_kernel(
 
     import jax.experimental.pallas as pl
 
-    def batch_vec(ref):
-        """(1, ref.cols) f32: ref[batch of this group] via one-hot matmul
-        on program_id // j_groups (Mosaic forbids 1-sublane blocks)."""
+    def vec_at(ref, idx):
+        """(1, ref.cols) f32: ref[idx] via one-hot matmul (Mosaic forbids
+        1-sublane blocks, so a direct dynamic row load is unavailable)."""
         bsz = ref.shape[0]
-        bidx = pl.program_id(0) // j_groups
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, bsz), 1) == bidx
+            jax.lax.broadcasted_iota(jnp.int32, (1, bsz), 1) == idx
         ).astype(jnp.float32)
         return _dot_f32(
             onehot, ref[...].astype(jnp.float32), ((1,), (0,)),
@@ -603,9 +615,14 @@ def _fused_temporal_group_kernel(
 
     xs = x_ref[...]
     if has_t:
-        xs = (xs.astype(jnp.float32) + batch_vec(t_ref)).astype(xs.dtype)
+        # t table is per SAMPLE [B, C]: this group's sample is id // j_groups.
+        xs = (
+            xs.astype(jnp.float32) + vec_at(t_ref, pl.program_id(0) // j_groups)
+        ).astype(xs.dtype)
     if has_dp:
-        dp_vec = batch_vec(dp_ref)
+        # dp table is per GROUP [B*J, 128] (flax DropPath draws temporal
+        # drop-path per (sample, joint) = per attention group).
+        dp_vec = vec_at(dp_ref, pl.program_id(0))
         s_attn, s_mlp = dp_vec[0:1, 0:1], dp_vec[0:1, 1:2]
     else:
         s_attn = s_mlp = None
@@ -715,9 +732,10 @@ def fused_temporal_block_cols(
     has_t = t_rows is not None
     has_dp = dp_scales is not None
     if has_dp:
-        bsz = dp_scales.shape[0]
-        dp_pad = jnp.zeros((bsz, 128), jnp.float32)
-        dp_pad = dp_pad.at[:, 0].set(dp_scales[:, 0]).at[:, 1].set(dp_scales[:, 1])
+        # Per-GROUP scales: row g = attention group (sample b = g // J,
+        # joint j = g % J), matching the grid's one-group-per-step order.
+        assert dp_scales.shape == (b * j_groups, 2), (dp_scales.shape, b, j_groups)
+        dp_pad = jnp.pad(dp_scales.astype(jnp.float32), ((0, 0), (0, 126)))
 
     group_spec = pl.BlockSpec(
         (f8, c), lambda i: (i // j_groups, i % j_groups), memory_space=pltpu.VMEM

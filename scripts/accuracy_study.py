@@ -58,8 +58,12 @@ def main():
         # (PERF.md "Training throughput"); remat is gradient-exact.
         remat=FRAMES > 100,
     )
+    # motion="latent": a LEARNABLE lifting task (poses on one fixed low-dim
+    # manifold, so monocular depth is inferable) — the round-2 study trained
+    # on unstructured walks whose converged MPJPE was ~954 mm, making the
+    # 0.1 mm budget 0.01% of a near-chance baseline (VERDICT round-2 #2).
     dataset, kp = make_synthetic_h36m_like(
-        subjects=("S1", "S5", "S9"), n_frames=4 * FRAMES, seed=0
+        subjects=("S1", "S5", "S9"), n_frames=4 * FRAMES, seed=0, motion="latent"
     )
 
     train_ds = PoseDataset(cfg, dataset, "data", "train", keypoints_data=kp)
@@ -159,31 +163,62 @@ def main():
         for split in fixed:
             raw_preds[split][name] = z[f"preds_{split}"]
 
+    base = results["flax_f32"]["e1"]
+
     deviations = {}
     for split in fixed:
         base_p = raw_preds[split]["flax_f32"]
         to_mm = test_ds.reverse_norm_3d_pose
         base_mm = to_mm(base_p) * 1000.0
-        clip_frac = float((np.abs(base_p) >= 0.999).mean())
-        deviations[split] = dict(clip_frac_flax=round(clip_frac, 4))
+        deviations[split] = dict(
+            clip_frac_flax=round(float((np.abs(base_p) >= 0.999).mean()), 4)
+        )
         for name in raw_preds[split]:
             if name == "flax_f32":
                 continue
-            d = to_mm(raw_preds[split][name]) * 1000.0 - base_mm
+            p = raw_preds[split][name]
+            d = to_mm(p) * 1000.0 - base_mm
             per_joint = np.linalg.norm(d, axis=-1)
             deviations[split][name] = dict(
                 mean_joint_dev_mm=round(float(per_joint.mean()), 5),
                 max_coord_dev_mm=round(float(np.abs(d).max()), 5),
+                # Relative view (VERDICT round-2 Next #10): deviation as a
+                # fraction of the operating-point MPJPE, plus how much of
+                # this path's output sits on the clip_denoised +-1 boundary
+                # (where deviations are clamped away).
+                mean_joint_dev_pct_of_mpjpe=round(
+                    float(per_joint.mean()) / base * 100.0, 3
+                ),
+                clip_frac=round(float((np.abs(p) >= 0.999).mean()), 4),
             )
 
-    base = results["flax_f32"]["e1"]
+    # Gate: the bench default must pass BOTH the absolute budget (0.1 mm on
+    # the test-MPJPE delta) and the relative one (<0.5% of the baseline
+    # MPJPE) so the rule transfers across operating points.
+    ABS_BUDGET_MM, REL_BUDGET = 0.1, 0.005
+    gate = {}
+    for k in results:
+        if k == "flax_f32":
+            continue
+        delta = results[k]["e1"] - base
+        gate[k] = dict(
+            delta_mm=round(delta, 5),
+            delta_rel=round(delta / base, 6),
+            passes_abs=bool(abs(delta) <= ABS_BUDGET_MM),
+            passes_rel=bool(abs(delta) <= REL_BUDGET * base),
+            passes=bool(abs(delta) <= ABS_BUDGET_MM and abs(delta) <= REL_BUDGET * base),
+        )
+
     table = {
         "config": dict(frames=FRAMES, embed=EMBED, depth=DEPTH, epochs=EPOCHS,
-                       ddim_eval=DDIM_EVAL, best_val_mpjpe_mm=fit["min_loss"]),
+                       ddim_eval=DDIM_EVAL, best_val_mpjpe_mm=fit["min_loss"],
+                       motion="latent"),
         "results": results,
         "deltas_vs_flax_f32_mm": {
             k: results[k]["e1"] - base for k in results
         },
+        "gate": dict(abs_budget_mm=ABS_BUDGET_MM, rel_budget=REL_BUDGET,
+                     baseline_mpjpe_mm=round(base, 4), paths=gate),
         "raw_prediction_deviation_vs_flax_f32": deviations,
     }
     with open(OUT, "w") as f:

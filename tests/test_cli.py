@@ -136,3 +136,26 @@ def test_viz_video_overlay_and_hypotheses(tmp_path):
           "--batch-size-eval", "16"])
     produced = set(os.listdir(out_dir))
     assert {"video_overlay.gif", "hypotheses_3d.gif"} <= produced
+
+
+def test_run_s2f_train_eval(tmp_path):
+    """seq2frame end-to-end through the CLI: out_all=False composes the s2f
+    chunking (pad=(F-1)//2, single-frame targets), the S2F model
+    (weighted-mean head), s2f diffusion sampling and the eval masking
+    (reference diff_s2f.py:405-410,281 + nosiy_generators.py:162-245)."""
+    from diff3dhpe_tpu.cli.run import main
+
+    errors = main(
+        ["--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+         "-c", str(tmp_path), "-a", "Walking", "-str", "S1", "-ste", "S9",
+         "--out_all", "False",
+         "--model", "ConditionalDiffusionMixSTES2FGRANDLinLift",
+         "--synthetic", "-frame", "9", "-s", "1",  # s2f: one target frame/chunk
+         "--embed_dim", "32", "--transformer_depth", "1",
+         "--timesteps", "20", "--sampling_timesteps", "3",
+         "-e", "1", "-b", "8", "--batch-size-eval", "16",
+         "--subset", "0.3"]  # stride-1 windows are plentiful; trim for speed
+    )
+    assert errors["e1"] and np.isfinite(errors["e1"][0])
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("results_") for f in files)

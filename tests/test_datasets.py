@@ -149,3 +149,36 @@ def test_val_split_uses_train_subjects_without_augmentation():
     # ...and the val-specific corruption knob is applied
     clean_val = PoseDataset(cfg, dataset, "data", "val", keypoints_data=kp)
     assert not np.allclose(val.get_item(0)["input_2d"], clean_val.get_item(0)["input_2d"])
+
+
+def test_latent_synthetic_motion_is_manifold_structured():
+    """motion="latent" poses must lie on ONE fixed low-dim affine manifold
+    shared across subjects/actions — the structure that makes monocular
+    2D->3D lifting learnable (data/synthetic.py::_latent_motion_poses) —
+    while motion="walk" poses must not (they span the full joint space)."""
+    dataset, kp = make_synthetic_h36m_like(
+        subjects=("S1", "S9"), n_frames=120, seed=0, motion="latent"
+    )
+    all_poses = np.concatenate(
+        [dataset[s][a]["positions"].reshape(-1, 51)
+         for s in ("S1", "S9") for a in dataset[s].keys()]
+    )
+    centred = all_poses - all_poses.mean(axis=0)
+    sv = np.linalg.svd(centred, compute_uv=False)
+    # 8 latent dims: singular values 9.. are numerically zero.
+    assert sv[8] / sv[0] < 1e-5
+
+    walk, _ = make_synthetic_h36m_like(
+        subjects=("S1",), n_frames=120, seed=0, motion="walk"
+    )
+    wposes = np.concatenate(
+        [walk["S1"][a]["positions"].reshape(-1, 51) for a in walk["S1"].keys()]
+    )
+    wc = wposes - wposes.mean(axis=0)
+    wsv = np.linalg.svd(wc, compute_uv=False)
+    assert wsv[8] / wsv[0] > 1e-3  # unstructured: no 8-dim collapse
+
+    # The 2D keypoints remain exact camera projections (same contract as
+    # the real data_2d npz): finite, pixel-scale values for every camera.
+    k2d = kp["positions_2d"]["S1"][next(iter(kp["positions_2d"]["S1"]))]
+    assert len(k2d) == 4 and np.isfinite(k2d[0]).all()

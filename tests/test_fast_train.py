@@ -49,8 +49,11 @@ def test_xla_mirror_matches_flax(setup):
 @pytest.mark.parametrize("temporal_mode", ["rows", "cols"])
 def test_fused_drop_path_matches_mirror(setup, temporal_mode):
     _, params, x, t = setup
-    dp = draw_drop_path_scales(jax.random.PRNGKey(5), 3, D, 0.5)
-    assert float(dp.min()) == 0.0  # rate 0.5 on the last pair: drops happen
+    dp = draw_drop_path_scales(
+        jax.random.PRNGKey(5), 3, D, 0.5, num_frame=F, num_joints=J
+    )
+    # rate 0.5 on the last pair: drops happen in both tables
+    assert float(dp[0].min()) == 0.0 and float(dp[1].min()) == 0.0
     fused = fast_forward_denoise(
         params, x, t, temporal_mode=temporal_mode, dp_scales=dp, **KW
     )
@@ -64,7 +67,7 @@ def test_custom_vjp_grads_match_flax(setup):
         num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
         mode="s2s", dtype_name="float32", temporal_mode="rows",
     )
-    dp1 = jnp.ones((2 * D, 3, 2))  # drop-path inactive -> deterministic
+    dp1 = (jnp.ones((D, 3, F, 2)), jnp.ones((D, 3, J, 2)))  # inactive -> deterministic
 
     def loss_fast(p):
         return jnp.sum(fast_forward_denoise_train(p, x, t, dp1, cfg) ** 2)
@@ -81,21 +84,58 @@ def test_custom_vjp_grads_match_flax(setup):
 
 
 def test_draw_drop_path_scales_distribution():
-    depth, b = 4, 256
+    depth, b = 4, 64
     rate = 0.4
-    dp = np.asarray(draw_drop_path_scales(jax.random.PRNGKey(0), b, depth, rate))
-    assert dp.shape == (2 * depth, b, 2)
+    dp_sp, dp_tp = draw_drop_path_scales(
+        jax.random.PRNGKey(0), b, depth, rate, num_frame=F, num_joints=J
+    )
+    dp_sp, dp_tp = np.asarray(dp_sp), np.asarray(dp_tp)
+    # Granularity contract (flax/timm DropPath): per (sample, frame) for
+    # spatial blocks, per (sample, joint) for temporal blocks.
+    assert dp_sp.shape == (depth, b, F, 2)
+    assert dp_tp.shape == (depth, b, J, 2)
     rates = np.linspace(0.0, rate, depth)
-    # Block pair 0 has rate 0: never dropped, scale exactly 1.
-    assert (dp[0] == 1.0).all() and (dp[1] == 1.0).all()
-    for i, r in enumerate(rates[1:], start=1):
-        keep = 1.0 - r
-        blk = dp[2 * i]
-        vals = np.unique(blk)
-        for v in vals:
-            assert np.isclose(v, 0.0) or np.isclose(v, 1.0 / keep, rtol=1e-5), vals
-        # E[scale] = 1 (unbiased residual): empirical keep-rate near keep.
-        assert abs((blk > 0).mean() - keep) < 0.08
+    for dp in (dp_sp, dp_tp):
+        # Block pair 0 has rate 0: never dropped, scale exactly 1.
+        assert (dp[0] == 1.0).all()
+        for i, r in enumerate(rates[1:], start=1):
+            keep = 1.0 - r
+            blk = dp[i]
+            vals = np.unique(blk)
+            for v in vals:
+                assert np.isclose(v, 0.0) or np.isclose(v, 1.0 / keep, rtol=1e-5), vals
+            # E[scale] = 1 (unbiased residual): empirical keep-rate near keep.
+            assert abs((blk > 0).mean() - keep) < 0.08
+    # Per-group independence: draws VARY along the frame/joint axis (the
+    # round-2 per-sample coarsening would make these constant).
+    assert (dp_sp[-1].std(axis=2) > 0).any()
+    assert (dp_tp[-1].std(axis=2) > 0).any()
+
+
+def test_custom_vjp_grads_match_mirror_with_droppath(setup):
+    """Gradients through the fused custom-VJP path must equal the XLA
+    mirror's at ACTIVE drop-path scales (round-2 only covered dp == ones)."""
+    _, params, x, t = setup
+    dp = draw_drop_path_scales(
+        jax.random.PRNGKey(9), 3, D, 0.5, num_frame=F, num_joints=J
+    )
+    cfg = FastTrainCfg(
+        num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
+        mode="s2s", dtype_name="float32", temporal_mode="rows",
+    )
+
+    def loss_fast(p):
+        return jnp.sum(fast_forward_denoise_train(p, x, t, dp, cfg) ** 2)
+
+    def loss_mirror(p):
+        return jnp.sum(xla_forward_denoise(p, x, t, dp_scales=dp, **KW) ** 2)
+
+    gf = jax.grad(loss_fast)(params)
+    gm = jax.grad(loss_mirror)(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)), gf, gm
+    )
+    assert max(jax.tree.leaves(rel)) < 2e-4
 
 
 def test_shard_map_fast_train_step():
