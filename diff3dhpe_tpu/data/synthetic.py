@@ -91,6 +91,16 @@ class SyntheticH36MDataset(MocapDataset):
         # (drawn once here), so 2D->3D lifting is learnable; "walk" keeps the
         # unstructured per-joint walks for pipeline/shape coverage.
         manifold = _make_pose_manifold(rng, n_joints) if motion == "latent" else None
+        if motion == "latent":
+            # Share ONE camera set across subjects: per-subject extrinsic
+            # differences make the camera-space manifold differ between the
+            # train and test subjects, which bounds ANY model at ~100 mm on
+            # this linear-manifold task (measured with a quadratic-feature
+            # regression probe). With shared cameras the held-out floor is
+            # exactly 0 mm, so a converged model's MPJPE measures the model,
+            # not a synthetic-geometry artefact.
+            shared = self._cameras[subjects[0] if subjects[0] in self._cameras else "S1"]
+            self._cameras = {s: shared for s in self._cameras}
         for subject in subjects:
             self._data[subject] = {}
             for action in actions:

@@ -45,29 +45,35 @@ def grand_attention(q, k, v, scale=None):
 
 def _attend_tile(qf, kf, vf, scale, mask=None):
     """softmax(qf kf^T * scale [+ mask]) vf - vf for one [M, D] tile."""
-    # Pin the contraction precision by dtype: a global
-    # jax_default_matmul_precision=highest would force an fp32 contract on
-    # bf16 operands, which Mosaic rejects ("Bad lhs type").
-    from diff3dhpe_tpu.ops.fused_block import f32_contract_precision
-
-    prec = (jax.lax.Precision.DEFAULT if qf.dtype == jnp.bfloat16
-            else f32_contract_precision())
+    # bf16 operands pin DEFAULT: a global jax_default_matmul_precision=
+    # highest would force an fp32 contract on bf16 operands, which Mosaic
+    # rejects ("Bad lhs type"). f32 operands pass precision=None so the
+    # SESSION's matmul precision applies — use_pallas_attention + f32 +
+    # matmul_precision='highest' (the parity config) keeps exact-f32
+    # contraction on TPU. (The fused fast path pins its own precision via
+    # fused_block._dot_f32 / DIFF_FUSED_F32_PREC — that knob does not apply
+    # here.)
+    prec = jax.lax.Precision.DEFAULT if qf.dtype == jnp.bfloat16 else None
+    # log2e folded into the scale: exp(x) lowers to exp2(x*log2e) on the TPU
+    # VPU, so base-2 softmax saves one [M, M] multiply per head.
     logits = jax.lax.dot_general(
         qf, kf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    ) * scale
+    ) * (scale * 1.4426950408889634)
     if mask is not None:
         logits = logits + mask
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    probs = jnp.exp(logits)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    e = jnp.exp2(logits)
+    # Deferred normalisation: the row-sum is a per-row scalar, so dividing
+    # the [M, D] AV output beats dividing the [M, M] probabilities.
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        probs.astype(vf.dtype), vf,
+        e.astype(vf.dtype), vf,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
-    return out - vf.astype(jnp.float32)
+    return out * r - vf.astype(jnp.float32)
 
 
 def _packed_grand_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, tpg):

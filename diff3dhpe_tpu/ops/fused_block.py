@@ -42,6 +42,11 @@ def _gelu_exact(x):
     return (0.5 * xf * (1.0 + _erf(xf * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
 
 
+# exp(x) lowers to exp2(x * log2e) on the TPU VPU; folding log2e into the
+# attention scale (one scalar multiply at trace time) turns the per-logit
+# exp into a bare exp2, saving one [tile, tile] multiply per head.
+_LOG2E = 1.4426950408889634
+
 _F32_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,   # 1 bf16 MXU pass
     "highest": jax.lax.Precision.HIGHEST,   # exact f32 (multi-pass)
@@ -145,16 +150,16 @@ def _fused_attn_block_kernel(
             v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
             logits = _dot_f32(
             q, k, ((1,), (1,)),
-        ) * scale
+        ) * (scale * _LOG2E)
             if mask is not None:
                 logits = logits + mask
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            probs = jnp.exp(logits)
-            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            e = jnp.exp2(logits)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # deferred norm
             av = _dot_f32(
-            probs.astype(v.dtype), v, ((1,), (0,)),
+            e.astype(v.dtype), v, ((1,), (0,)),
         )
-            head_outs.append(av - v.astype(jnp.float32))
+            head_outs.append(av * r - v.astype(jnp.float32))
         attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
 
         proj = (
@@ -272,14 +277,19 @@ def _fused_full_block_kernel(
             v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
             logits = _dot_f32(
             q, k, ((1,), (1,)),
-        ) * scale
+        ) * (scale * _LOG2E)
             if mask is not None:
                 logits = logits + mask
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            probs = jnp.exp(logits)
-            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-            av = dot(probs.astype(v.dtype), v)
-            head_outs.append(av - v.astype(jnp.float32))
+            e = jnp.exp2(logits)
+            # Deferred normalisation: softmax(l) @ v == (exp(l) @ v) * 1/sum
+            # because the row sum is a per-row scalar — so the [tile, tile]
+            # divide collapses to a [tile, 1] reciprocal + [tile, d]
+            # multiply in the AV epilogue (softmax VPU work is part of the
+            # measured gap to the GEMM roofline, PERF.md round-2).
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            av = dot(e.astype(v.dtype), v)
+            head_outs.append(av * r - v.astype(jnp.float32))
         return jnp.concatenate(head_outs, axis=-1)
 
     def mlp_residual(xs, attn_out, s_attn=None, s_mlp=None):
@@ -657,14 +667,15 @@ def _fused_temporal_group_kernel(
         v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
         logits = _dot_f32(
             q, k, ((1,), (1,)),
-        ) * scale
+        ) * (scale * _LOG2E)
         if mask is not None:
             logits = logits + mask
         logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        probs = jnp.exp(logits)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        av = dot(probs.astype(v.dtype), v)
-        head_outs.append(av - v.astype(jnp.float32))
+        e = jnp.exp2(logits)
+        # Deferred normalisation (see _fused_full_block_kernel.attend_tile).
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        av = dot(e.astype(v.dtype), v)
+        head_outs.append(av * r - v.astype(jnp.float32))
     attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
 
     attn_branch = dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)

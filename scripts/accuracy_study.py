@@ -33,8 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FRAMES = int(os.environ.get("STUDY_FRAMES", "243"))
 EMBED = int(os.environ.get("STUDY_EMBED", "512"))
 DEPTH = int(os.environ.get("STUDY_DEPTH", "8"))
-EPOCHS = int(os.environ.get("STUDY_EPOCHS", "60"))
+EPOCHS = int(os.environ.get("STUDY_EPOCHS", "100"))
 BATCH = int(os.environ.get("STUDY_BATCH", "8"))
+N_ACTIONS = int(os.environ.get("STUDY_ACTIONS", "8"))
 DDIM_EVAL = int(os.environ.get("STUDY_DDIM", "9"))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "accuracy_study.json")
 
@@ -50,20 +51,28 @@ def main():
     cfg = Config(
         number_of_frames=FRAMES, stride=FRAMES, embed_dim=EMBED,
         transformer_depth=DEPTH, timesteps=1000, sampling_timesteps=5,
-        batch_size=BATCH, batch_size_eval=BATCH, epochs=EPOCHS,
+        batch_size=BATCH, batch_size_eval=4 * BATCH, epochs=EPOCHS,
         learning_rate=4e-4, subjects_train="S1,S5", subjects_test="S9",
         checkpoint=os.path.join(os.path.dirname(OUT), "study_ckpt"),
         patience=EPOCHS, matmul_precision="highest",
+        # Fused custom-VJP training forward: gradient-identical to the flax
+        # path (tests/test_fast_train.py) and 1.17x faster — the study's
+        # gate compares EVAL paths on the resulting weights, so the training
+        # path only affects wall-clock.
+        fast_train=True,
         # 243f backward without remat blows up the remote compile helper
         # (PERF.md "Training throughput"); remat is gradient-exact.
         remat=FRAMES > 100,
     )
     # motion="latent": a LEARNABLE lifting task (poses on one fixed low-dim
-    # manifold, so monocular depth is inferable) — the round-2 study trained
+    # manifold viewed through SHARED cameras, so monocular depth is
+    # inferable and the held-out floor is ~0) — the round-2 study trained
     # on unstructured walks whose converged MPJPE was ~954 mm, making the
     # 0.1 mm budget 0.01% of a near-chance baseline (VERDICT round-2 #2).
     dataset, kp = make_synthetic_h36m_like(
-        subjects=("S1", "S5", "S9"), n_frames=4 * FRAMES, seed=0, motion="latent"
+        subjects=("S1", "S5", "S9"),
+        actions=tuple(f"Act{i} 1" for i in range(N_ACTIONS)),
+        n_frames=8 * FRAMES, seed=0, motion="latent",
     )
 
     train_ds = PoseDataset(cfg, dataset, "data", "train", keypoints_data=kp)

@@ -182,3 +182,11 @@ def test_latent_synthetic_motion_is_manifold_structured():
     # the real data_2d npz): finite, pixel-scale values for every camera.
     k2d = kp["positions_2d"]["S1"][next(iter(kp["positions_2d"]["S1"]))]
     assert len(k2d) == 4 and np.isfinite(k2d[0]).all()
+
+    # Latent mode shares ONE camera set across subjects (per-subject
+    # extrinsics would bound any model at ~100 mm on this task; with shared
+    # cameras the held-out floor is 0 — see synthetic.py).
+    cams = dataset.cameras()
+    assert cams["S9"] is cams["S1"]
+    wcams = walk.cameras()
+    assert wcams["S9"] is not wcams["S1"]  # walk mode keeps real extrinsics
