@@ -53,20 +53,30 @@ def _attend_tile(qf, kf, vf, scale, mask=None):
     # contraction on TPU. (The fused fast path pins its own precision via
     # fused_block._dot_f32 / DIFF_FUSED_F32_PREC — that knob does not apply
     # here.)
-    prec = jax.lax.Precision.DEFAULT if qf.dtype == jnp.bfloat16 else None
-    # log2e folded into the scale: exp(x) lowers to exp2(x*log2e) on the TPU
-    # VPU, so base-2 softmax saves one [M, M] multiply per head.
+    bf16 = qf.dtype == jnp.bfloat16
+    prec = jax.lax.Precision.DEFAULT if bf16 else None
+    # Dtype-tuned softmax epilogue, mirroring fused_block._grand_attend
+    # (A/B-measured on v5e): f32 defers the normalisation past the AV
+    # matmul and folds log2e into the scale (bare exp2 on the VPU); bf16
+    # keeps the classic normalise-then-AV form, which measured faster.
     logits = jax.lax.dot_general(
         qf, kf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    ) * (scale * 1.4426950408889634)
+    ) * (scale if bf16 else scale * 1.4426950408889634)
     if mask is not None:
         logits = logits + mask
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    if bf16:
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            probs.astype(vf.dtype), vf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return out - vf.astype(jnp.float32)
     e = jnp.exp2(logits)
-    # Deferred normalisation: the row-sum is a per-row scalar, so dividing
-    # the [M, D] AV output beats dividing the [M, M] probabilities.
     r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
         e.astype(vf.dtype), vf,

@@ -104,6 +104,38 @@ def _dot_f32(a, b, dims):
         preferred_element_type=jnp.float32, precision=prec,
     )
 
+
+def _grand_attend(q, k, v, scale, mask):
+    """One head's GRAND attention tile: softmax(q k^T * scale [+ mask]) @ v
+    - v, f32 accumulation. Shared by every fused-block kernel.
+
+    Dtype-tuned softmax epilogue (A/B-measured on v5e, PERF.md round-3):
+
+    - f32 operands DEFER the normalisation past the AV matmul (the row sum
+      is a per-row scalar, so dividing the [M, d] AV output replaces the
+      [M, M] probability divide) and fold log2e into the scale so the
+      per-logit exp lowers to a bare exp2 — together +2% on the f32 bench
+      (15.8 -> 16.1 seq/s).
+    - bf16 operands keep the classic normalise-then-AV form: the deferred
+      variant measured SLOWER there (23.0/23.2 vs 22.2 ms B=8 trunk — the
+      separated f32 epilogue defeats whatever fusion Mosaic finds for the
+      divide+cast feeding the MXU).
+    """
+    bf16 = v.dtype == jnp.bfloat16
+    logits = _dot_f32(q, k, ((1,), (1,))) * (scale if bf16 else scale * _LOG2E)
+    if mask is not None:
+        logits = logits + mask
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    if bf16:
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        av = _dot_f32(probs.astype(v.dtype), v, ((1,), (0,)))
+        return av - v.astype(jnp.float32)
+    e = jnp.exp2(logits)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    av = _dot_f32(e.astype(v.dtype), v, ((1,), (0,)))
+    return av * r - v.astype(jnp.float32)
+
 def _layernorm_rows(x, scale, bias, eps=1e-6):
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -148,18 +180,7 @@ def _fused_attn_block_kernel(
             q = qkv[:, h * d:(h + 1) * d]
             k = qkv[:, c + h * d: c + (h + 1) * d]
             v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
-            logits = _dot_f32(
-            q, k, ((1,), (1,)),
-        ) * (scale * _LOG2E)
-            if mask is not None:
-                logits = logits + mask
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp2(logits)
-            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # deferred norm
-            av = _dot_f32(
-            e.astype(v.dtype), v, ((1,), (0,)),
-        )
-            head_outs.append(av * r - v.astype(jnp.float32))
+            head_outs.append(_grand_attend(q, k, v, scale, mask))
         attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
 
         proj = (
@@ -275,21 +296,7 @@ def _fused_full_block_kernel(
             q = qkv[:, h * d:(h + 1) * d]
             k = qkv[:, c + h * d: c + (h + 1) * d]
             v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
-            logits = _dot_f32(
-            q, k, ((1,), (1,)),
-        ) * (scale * _LOG2E)
-            if mask is not None:
-                logits = logits + mask
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp2(logits)
-            # Deferred normalisation: softmax(l) @ v == (exp(l) @ v) * 1/sum
-            # because the row sum is a per-row scalar — so the [tile, tile]
-            # divide collapses to a [tile, 1] reciprocal + [tile, d]
-            # multiply in the AV epilogue (softmax VPU work is part of the
-            # measured gap to the GEMM roofline, PERF.md round-2).
-            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-            av = dot(e.astype(v.dtype), v)
-            head_outs.append(av * r - v.astype(jnp.float32))
+            head_outs.append(_grand_attend(q, k, v, scale, mask))
         return jnp.concatenate(head_outs, axis=-1)
 
     def mlp_residual(xs, attn_out, s_attn=None, s_mlp=None):
@@ -665,17 +672,7 @@ def _fused_temporal_group_kernel(
         q = qkv[:, h * d:(h + 1) * d]
         k = qkv[:, c + h * d: c + (h + 1) * d]
         v = qkv[:, 2 * c + h * d: 2 * c + (h + 1) * d]
-        logits = _dot_f32(
-            q, k, ((1,), (1,)),
-        ) * (scale * _LOG2E)
-        if mask is not None:
-            logits = logits + mask
-        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp2(logits)
-        # Deferred normalisation (see _fused_full_block_kernel.attend_tile).
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-        av = dot(e.astype(v.dtype), v)
-        head_outs.append(av * r - v.astype(jnp.float32))
+        head_outs.append(_grand_attend(q, k, v, scale, mask))
     attn_out = jnp.concatenate(head_outs, axis=-1).astype(xs.dtype)
 
     attn_branch = dot(attn_out, wproj_ref[...]) + bproj.astype(jnp.float32)

@@ -138,6 +138,70 @@ def test_custom_vjp_grads_match_mirror_with_droppath(setup):
     assert max(jax.tree.leaves(rel)) < 2e-4
 
 
+def test_bf16_training_drift_bounded():
+    """compute_dtype=bfloat16 training must TRACK f32 step for step.
+
+    Same init, same batches, drop-path off — the ONLY difference between
+    the two runs is the activation/GEMM dtype of the fused training
+    forward, so the per-step loss gap is a direct measure of bf16 training
+    drift. This pins the bound behind the bf16 recommendation
+    (scripts/dtype_equivalence.py runs the full-scale version on TPU);
+    the reference trains f32 only (reference run.py:312-347).
+    """
+    from diff3dhpe_tpu.diffusion import GaussianDiffusion
+    from diff3dhpe_tpu.engine import build_train_state, make_train_step
+    from diff3dhpe_tpu.engine.steps import make_fast_train_denoise_fn, make_optimizer
+
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=D,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.0,
+        with_time_emb=True, mode="s2s",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F, J, 5)), jnp.zeros((1,))
+    )["params"]
+
+    rng = np.random.default_rng(3)
+    steps_n = 10
+    batches = [
+        (
+            jnp.asarray(rng.standard_normal((8, F, J, 3)), jnp.float32),
+            jnp.asarray(rng.standard_normal((8, F, J, 2)), jnp.float32),
+        )
+        for _ in range(steps_n)
+    ]
+
+    def run(dtype):
+        denoise_fn = make_fast_train_denoise_fn(
+            num_frame=F, num_joints=J, depth=D, num_heads=8,
+            with_time_emb=True, mode="s2s", dtype=dtype, drop_path_rate=0.0,
+        )
+        diffusion = GaussianDiffusion.create(
+            denoise_fn, timesteps=40, sampling_timesteps=4,
+            clip_denoised=True, clip_loss=True, beta_schedule="cosine",
+            mode="s2s",
+        )
+        opt = make_optimizer(1e-3, 0.99, steps_per_epoch=steps_n)
+        state = build_train_state(jax.tree.map(jnp.copy, params), opt)
+        step = make_train_step(diffusion, opt)
+        losses = []
+        for i, (gt, x2d) in enumerate(batches):
+            state, loss = step(state, jax.random.PRNGKey(100 + i), gt, x2d)
+            losses.append(float(loss))
+        return losses
+
+    l32 = run(jnp.float32)
+    l16 = run(jnp.bfloat16)
+    assert all(np.isfinite(l32)) and all(np.isfinite(l16))
+    rel = [abs(a - b) / max(abs(a), 1e-9) for a, b in zip(l32, l16)]
+    # bf16 rounding perturbs each step slightly; the trajectories must stay
+    # locked — a loose bound here would hide a broken bf16 path, a tight one
+    # flakes on rounding. 5% max per-step on this tiny config (measured
+    # ~1e-3..1e-2), and the run must END at an equivalent loss.
+    assert max(rel) < 0.05, rel
+    assert abs(l32[-1] - l16[-1]) / abs(l32[-1]) < 0.03, (l32[-1], l16[-1])
+
+
 def test_shard_map_fast_train_step():
     from diff3dhpe_tpu.diffusion import GaussianDiffusion
     from diff3dhpe_tpu.engine import build_train_state, make_train_step
