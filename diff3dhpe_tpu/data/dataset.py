@@ -12,14 +12,16 @@ index in chunking.py. Differences by design:
 - The shuffle RNG state is exposed for checkpoint/resume (the reference
   pickles the generator's RandomState into its checkpoints, run.py:457).
 
-Lineage note: PoseDataset._prepare_data/_fetch are PARITY-CONSTRAINED ports
-of load_noisy_data.py:115-230 (itself derived from VideoPose3D's run.py
-fetch loops, MIT licence) — the camera-space preparation, keypoint
-truncation asserts, subset/downsample selection and the
-deterministic_random subset offset must execute in the reference's exact
-order or the chunk index (and therefore every published-number comparison)
-silently shifts. They are kept loop-for-loop on purpose and tested
-bit-exactly via tests/test_chunking.py + tests/test_datasets.py.
+- Sequence preparation is a PURE record stream (_sequence_records): one
+  immutable SequenceRecord per (subject, action, camera), computed on
+  copies. The reference's two-phase prepare/fetch (load_noisy_data.py:
+  115-230, derived from VideoPose3D's fetch loops, MIT licence) mutates the
+  dataset and keypoint dicts in place; the round-2 port inherited that and
+  double-normalised the val split's 2D inputs when splits shared one
+  injected archive. The per-sequence operation ORDER (truncate-then-
+  normalise, subset/downsample arithmetic, deterministic_random offsets)
+  stays parity-pinned and is tested bit-exactly via tests/test_chunking.py
+  + tests/test_datasets.py.
 """
 from __future__ import annotations
 
@@ -210,6 +212,87 @@ class _WindowedPoseData:
             )
 
 
+@dataclasses.dataclass(frozen=True)
+class SequenceRecord:
+    """One processed (subject, action, camera) sequence, ready for the chunk
+    index: screen-normalised 2D, camera-space root-centred 3D (None for
+    2D-only footage), and the camera intrinsic vector (None if absent)."""
+
+    key: tuple  # (subject, action, cam_idx)
+    pose_2d: np.ndarray
+    pose_3d: Optional[np.ndarray]
+    camera: Optional[np.ndarray]
+
+
+def _camera_space_poses(anim):
+    """Root-centred camera-space 3D for each camera of one animation
+    (reference prepare_data semantics), or None when the animation carries
+    no mocap (2D-only custom footage). Precomputed per-camera lists
+    (``positions_3d``) pass through so callers can inject viz-space poses."""
+    if "positions_3d" in anim:
+        return anim["positions_3d"]
+    if "positions" not in anim:
+        return None
+    out = []
+    for cam in anim["cameras"]:
+        pos_3d = world_to_camera(
+            anim["positions"], R=cam["orientation"], t=cam["translation"]
+        )
+        out.append(pos_3d - pos_3d[:, :1])
+    return out
+
+
+def _sequence_records(dataset, subjects, keypoints, action_filter):
+    """Stream of SequenceRecords for the requested subjects.
+
+    PURE over its inputs: `dataset` and `keypoints` are never written, and
+    every transformed array is a fresh copy. (The round-2 port of the
+    reference's prepare/fetch phases screen-normalised the shared keypoint
+    arrays in place, so constructing a second split over the same injected
+    archive — exactly what the train/val pair does — silently normalised the
+    val inputs twice, collapsing them to ~-1.) The per-sequence operation
+    ORDER is parity-pinned to load_noisy_data.py:115-230: truncate the 2D
+    track to the mocap length, then screen-normalise with that camera's
+    resolution; camera-count/length asserts match the reference's.
+    """
+    for subject in subjects:
+        assert subject in keypoints, f"Subject {subject} missing from 2D detections"
+        missing = [a for a in dataset[subject] if a not in keypoints[subject]]
+        assert not missing, (
+            f"Actions {missing} of subject {subject} missing from 2D detections"
+        )
+        for action in keypoints[subject].keys():
+            if action_filter is not None and not any(
+                action.startswith(a) for a in action_filter
+            ):
+                continue
+            kp_cams = keypoints[subject][action]
+            poses_3d = _camera_space_poses(dataset[subject][action])
+            if poses_3d is not None:
+                assert len(poses_3d) == len(kp_cams), "Camera count mismatch"
+            cams = dataset.cameras()[subject]
+            assert len(cams) == len(kp_cams), "Camera count mismatch"
+            for cam_idx, kp in enumerate(kp_cams):
+                cam = cams[cam_idx]
+                pose_3d = None
+                if poses_3d is not None:
+                    pose_3d = poses_3d[cam_idx]
+                    assert kp.shape[0] >= pose_3d.shape[0], (
+                        f"2D track shorter than mocap for {subject}/{action}"
+                    )
+                    kp = kp[: pose_3d.shape[0]]
+                pose_2d = kp.copy()
+                pose_2d[..., :2] = normalize_screen_coordinates(
+                    pose_2d[..., :2], w=cam["res_w"], h=cam["res_h"]
+                )
+                yield SequenceRecord(
+                    key=(subject, action, cam_idx),
+                    pose_2d=pose_2d,
+                    pose_3d=pose_3d,
+                    camera=cam["intrinsic"] if "intrinsic" in cam else None,
+                )
+
+
 class PoseDataset(_WindowedPoseData):
     """H3.6M-style dataset wrapper (reference load_Dataset:20-291).
 
@@ -251,13 +334,22 @@ class PoseDataset(_WindowedPoseData):
         pad = 0 if opt.out_all else (receptive_field - 1) // 2
         subjects = train_list if split in ("train", "val") else test_list
 
-        keypoints = self._prepare_data(dataset, subjects, keypoints_data)
-        cameras, poses_3d, poses_2d = self._fetch(dataset, subjects, keypoints)
+        keypoints = self._load_keypoints(keypoints_data)
+        self.joints_left = list(dataset.skeleton().joints_left())
+        self.joints_right = list(dataset.skeleton().joints_right())
+        poses_2d, poses_3d, cameras = {}, {}, {}
+        for rec in _sequence_records(dataset, subjects, keypoints, self.action_filter):
+            poses_2d[rec.key] = rec.pose_2d
+            if rec.pose_3d is not None:
+                poses_3d[rec.key] = rec.pose_3d
+            if rec.camera is not None:
+                cameras[rec.key] = rec.camera
+        self._select_frames(poses_2d, poses_3d)
 
         super().__init__(
             poses_2d=poses_2d,
-            poses_3d=poses_3d,
-            cameras=cameras,
+            poses_3d=poses_3d or None,
+            cameras=cameras or None,
             valid_frame=None,
             scale=scale,
             chunk_length=opt.stride,
@@ -277,22 +369,11 @@ class PoseDataset(_WindowedPoseData):
             joint_drop_rate=joint_drop_rate,
         )
 
-    def _prepare_data(self, dataset, subjects, keypoints_data):
-        # Camera-space root-centred 3D (reference prepare_data:115-127).
-        for subject in subjects:
-            for action in dataset[subject].keys():
-                anim = dataset[subject][action]
-                if "positions_3d" in anim:
-                    continue
-                positions_3d = []
-                for cam in anim["cameras"]:
-                    pos_3d = world_to_camera(
-                        anim["positions"], R=cam["orientation"], t=cam["translation"]
-                    )
-                    pos_3d = pos_3d - pos_3d[:, :1]
-                    positions_3d.append(pos_3d)
-                anim["positions_3d"] = positions_3d
-
+    def _load_keypoints(self, keypoints_data):
+        """2D-detection archive access: loads fresh from disk unless an
+        archive dict was injected, reads the joint metadata, and returns the
+        positions_2d mapping UNTOUCHED — every per-sequence transform happens
+        on copies inside _sequence_records."""
         if keypoints_data is None:
             keypoints_data = dict(
                 np.load(
@@ -306,93 +387,32 @@ class PoseDataset(_WindowedPoseData):
         keypoints_symmetry = metadata["keypoints_symmetry"]
         self.num_joints = metadata["num_joints"]
         self.kps_left, self.kps_right = list(keypoints_symmetry[0]), list(keypoints_symmetry[1])
-        self.joints_left = list(dataset.skeleton().joints_left())
-        self.joints_right = list(dataset.skeleton().joints_right())
-
         keypoints = keypoints_data["positions_2d"]
         if hasattr(keypoints, "item"):
             keypoints = keypoints.item()
-
-        for subject in subjects:
-            assert subject in keypoints, f"Subject {subject} missing from 2D detections"
-            for action in dataset[subject].keys():
-                assert action in keypoints[subject], (
-                    f"Action {action} of subject {subject} missing from 2D detections"
-                )
-                if "positions_3d" not in dataset[subject][action]:
-                    continue
-                for cam_idx in range(len(keypoints[subject][action])):
-                    mocap_length = dataset[subject][action]["positions_3d"][cam_idx].shape[0]
-                    assert keypoints[subject][action][cam_idx].shape[0] >= mocap_length
-                    if keypoints[subject][action][cam_idx].shape[0] > mocap_length:
-                        keypoints[subject][action][cam_idx] = keypoints[subject][action][
-                            cam_idx
-                        ][:mocap_length]
-                assert len(keypoints[subject][action]) == len(
-                    dataset[subject][action]["positions_3d"]
-                )
-
-        # Screen-normalise the detections in place.
-        for subject in subjects:
-            for action in keypoints[subject]:
-                for cam_idx, kps in enumerate(keypoints[subject][action]):
-                    cam = dataset.cameras()[subject][cam_idx]
-                    kps[..., :2] = normalize_screen_coordinates(
-                        kps[..., :2], w=cam["res_w"], h=cam["res_h"]
-                    )
-                    keypoints[subject][action][cam_idx] = kps
         return keypoints
 
-    def _fetch(self, dataset, subjects, keypoints, parse_3d_poses=True):
-        out_poses_3d = {}
-        out_poses_2d = {}
-        out_cameras = {}
-
-        for subject in subjects:
-            for action in keypoints[subject].keys():
-                if self.action_filter is not None:
-                    if not any(action.startswith(a) for a in self.action_filter):
-                        continue
-
-                poses_2d = keypoints[subject][action]
-                for i in range(len(poses_2d)):
-                    out_poses_2d[(subject, action, i)] = poses_2d[i]
-
-                if subject in dataset.cameras():
-                    cams = dataset.cameras()[subject]
-                    assert len(cams) == len(poses_2d), "Camera count mismatch"
-                    for i, cam in enumerate(cams):
-                        if "intrinsic" in cam:
-                            out_cameras[(subject, action, i)] = cam["intrinsic"]
-
-                if parse_3d_poses and "positions_3d" in dataset[subject][action]:
-                    poses_3d = dataset[subject][action]["positions_3d"]
-                    assert len(poses_3d) == len(poses_2d), "Camera count mismatch"
-                    for i in range(len(poses_3d)):
-                        out_poses_3d[(subject, action, i)] = poses_3d[i]
-
-        if not out_cameras:
-            out_cameras = None
-        if not out_poses_3d:
-            out_poses_3d = None
-
+    def _select_frames(self, poses_2d, poses_3d):
+        """In-place subset/downsample selection over the collected record
+        dicts. The arithmetic is parity-pinned to the reference
+        (load_noisy_data.py:208-227): ``subset<1`` keeps one contiguous slice
+        per sequence whose length is a stride multiple, offset by
+        deterministic_random seeded on the sequence length."""
         stride = self.downsample
         if self.subset < 1:
-            for key in out_poses_2d.keys():
-                n_frames = int(round(len(out_poses_2d[key]) // stride * self.subset) * stride)
+            for key in poses_2d:
+                n_frames = int(round(len(poses_2d[key]) // stride * self.subset) * stride)
                 start = deterministic_random(
-                    0, len(out_poses_2d[key]) - n_frames + 1, str(len(out_poses_2d[key]))
+                    0, len(poses_2d[key]) - n_frames + 1, str(len(poses_2d[key]))
                 )
-                out_poses_2d[key] = out_poses_2d[key][start : start + n_frames : stride]
-                if out_poses_3d is not None:
-                    out_poses_3d[key] = out_poses_3d[key][start : start + n_frames : stride]
+                poses_2d[key] = poses_2d[key][start : start + n_frames : stride]
+                if key in poses_3d:
+                    poses_3d[key] = poses_3d[key][start : start + n_frames : stride]
         elif stride > 1:
-            for key in out_poses_2d.keys():
-                out_poses_2d[key] = out_poses_2d[key][::stride]
-                if out_poses_3d is not None:
-                    out_poses_3d[key] = out_poses_3d[key][::stride]
-
-        return out_cameras, out_poses_3d, out_poses_2d
+            for key in poses_2d:
+                poses_2d[key] = poses_2d[key][::stride]
+                if key in poses_3d:
+                    poses_3d[key] = poses_3d[key][::stride]
 
 
 class PoseDataset3DHP(_WindowedPoseData):

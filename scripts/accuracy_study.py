@@ -60,6 +60,13 @@ def main():
         # gate compares EVAL paths on the resulting weights, so the training
         # path only affects wall-clock.
         fast_train=True,
+        # Per-epoch validation (best-checkpoint selection + early stop) runs
+        # through the fused eval kernels: the flax-f32-highest path made the
+        # val eval dominate the epoch (3.2 min/epoch at 512 val windows),
+        # and checkpoint selection only needs path-consistent rankings —
+        # the gate itself re-evaluates each path below with fast_eval set
+        # per variant, overriding this.
+        fast_eval=True,
         # 243f backward without remat blows up the remote compile helper
         # (PERF.md "Training throughput"); remat is gradient-exact.
         remat=FRAMES > 100,
