@@ -318,6 +318,16 @@ class Runner:
         plt.close("all")
 
     def _validate(self, val_ds, key):
+        """Per-epoch validation pass. Returns (mpjpe, loss):
+
+        - mpjpe: frame-mask-weighted MPJPE over real (non-padded) rows — the
+          early-stop / best-checkpoint signal.
+        - loss: plain mean of the per-batch p_losses values, matching the
+          reference's logged val loss (run.py:353-406 averages the loader's
+          batch losses uniformly), so Valid/_pose_loss lines are comparable
+          to reference training logs. The final fixed-shape batch pads by
+          repeating its last real row, so padding contributes real data.
+        """
         errs, losses, n = [], [], 0
         for b in val_ds.batches(self.cfg.batch_size_eval):
             key, sub = jax.random.split(key)
@@ -331,9 +341,9 @@ class Runner:
             pred_f = pred.reshape(-1, self.num_joints, 3)[mask]
             gt_f = b.gt_3d.reshape(-1, self.num_joints, 3)[mask]
             errs.append(float(mpjpe(pred_f[:, None], gt_f[:, None])) * mask.sum())
-            losses.append(float(loss) * mask.sum())
+            losses.append(float(loss))
             n += mask.sum()
-        return (np.sum(errs) / n, np.sum(losses) / n) if n else (np.nan, np.nan)
+        return (np.sum(errs) / n, np.mean(losses)) if n else (np.nan, np.nan)
 
     # ------------------------------------------------------------------
     def evaluate(self, test_ds, action: Optional[str] = None, key=None) -> Dict:
