@@ -15,6 +15,7 @@ training uses the regular XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,8 +61,6 @@ def f32_contract_precision():
     (read at trace time). The accuracy study (scripts/accuracy_study.py)
     measures each mode's deviation from the flax parity path on trained
     weights; see PERF.md for the measured accuracy/throughput trade."""
-    import os
-
     return _F32_PRECISIONS[os.environ.get("DIFF_FUSED_F32_PREC", "default")]
 
 
@@ -80,8 +79,6 @@ def gemm_storage_dtype(x_dtype):
     DIFF_FUSED_F32_STORE=bf16, TPU only (on CPU the default contract is
     exact f32, so the cast would change semantics and break the
     interpret-mode parity tests)."""
-    import os
-
     if (x_dtype == jnp.float32
             and f32_contract_precision() == jax.lax.Precision.DEFAULT
             and os.environ.get("DIFF_FUSED_F32_STORE", "f32") == "bf16"
@@ -125,6 +122,14 @@ def _grand_attend(q, k, v, scale, mask):
     logits = _dot_f32(q, k, ((1,), (1,))) * (scale if bf16 else scale * _LOG2E)
     if mask is not None:
         logits = logits + mask
+    if os.environ.get("DIFF_FUSED_ABLATE_SOFTMAX") == "1":
+        # MEASUREMENT ABLATION (wrong numerics, perf probes only): skip the
+        # whole softmax epilogue — max/exp/sum/normalise — and feed the raw
+        # logits straight to the AV matmul. The runtime delta vs the real
+        # kernel isolates the attention VPU cost from the GEMM floor
+        # (PERF.md round-3 "irreducible gap" accounting).
+        av = _dot_f32(logits.astype(v.dtype), v, ((1,), (0,)))
+        return av - v.astype(jnp.float32)
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     if bf16:
         probs = jnp.exp(logits)
