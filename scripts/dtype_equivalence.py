@@ -52,6 +52,11 @@ def run_one(dtype_name: str):
         learning_rate=4e-4, subjects_train="S1,S5", subjects_test="S9",
         checkpoint=os.path.join(OUTDIR, f"ckpt_{dtype_name}"),
         patience=EPOCHS, fast_train=True, compute_dtype=dtype_name,
+        # Per-epoch validation through the fused eval kernels (the flax
+        # val eval dominates the epoch otherwise; see accuracy_study.py).
+        # Both runs validate through the same path, so the comparison is
+        # unaffected.
+        fast_eval=True,
         remat=FRAMES > 100,
     )
     dataset, kp = make_synthetic_h36m_like(
