@@ -60,6 +60,57 @@ def test_prepare_to_cli_eval_chain(tmp_path):
     assert np.isfinite(errors_eval["e1"][0])
 
 
+def test_published_eval_table_in_miniature(tmp_path):
+    """scripts/published_eval.py (the production one-command table) drives
+    a published row end-to-end on the fabricated archive: prepare -> train a
+    tiny checkpoint -> table row with achieved/published/delta; missing
+    checkpoints are reported, not fatal."""
+    pytest.importorskip("h5py")
+    import shutil
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import published_eval
+
+    from diff3dhpe_tpu.cli.run import main as run_main
+    from diff3dhpe_tpu.data.prepare_h36m import main as prepare_main
+
+    archive = str(tmp_path / "h36m.zip")
+    _make_fake_archive(archive, n_frames=20)
+    data_dir = str(tmp_path / "data")
+    prepare_main(["--from-archive", archive, "--out-dir", data_dir])
+
+    tiny = [
+        "-str", "S1", "-ste", "S9", "-a", "Walking",
+        "--number-of-frames", "9", "--stride", "9",
+        "--embed_dim", "32", "--transformer_depth", "1",
+        "--timesteps", "20", "--sampling_timesteps", "2",
+        "--batch-size-eval", "16",
+    ]
+    train_ckpt = str(tmp_path / "train_ckpt")
+    run_main([
+        "--config", "configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json",
+        "--data-root", data_dir, "-c", train_ckpt, "-e", "1", "-b", "8", *tiny,
+    ])
+
+    ckpt_dir = str(tmp_path / "released")
+    os.makedirs(os.path.join(ckpt_dir, "h36m_gt_81"))
+    shutil.copytree(os.path.join(train_ckpt, "best_epoch"),
+                    os.path.join(ckpt_dir, "h36m_gt_81", "best_epoch"))
+
+    table = published_eval.main([
+        "--data-root", data_dir, "--ckpt-dir", ckpt_dir,
+        "--rows", "h36m_gt_81,h36m_gt_243", "--ddim", "2", *tiny,
+    ])
+    row = table["h36m_gt_81"]
+    assert row["status"] == "ok"
+    assert np.isfinite(row["achieved"]["mpjpe_mm"])
+    assert row["delta_vs_published"]["mpjpe_mm"] == pytest.approx(
+        row["achieved"]["mpjpe_mm"] - 24.2, abs=1e-6
+    )
+    # The 243f row has no checkpoint here: reported, not fatal.
+    assert table["h36m_gt_243"]["status"] == "missing_checkpoint"
+
+
 @pytest.mark.skipif(not has_reference(), reason="reference tree not available")
 def test_reference_saved_checkpoint_converts_and_matches(tmp_path):
     """A checkpoint saved EXACTLY as the reference saves it (run.py:446-479:
