@@ -31,3 +31,8 @@ python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval -lr
 
 ### Visualisation
 python -m diff3dhpe_tpu.cli.viz --config configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json --evaluate best_epoch --viz-subject S11 --viz-action "Walking 1" --viz-camera 0 --viz-output viz_out
+
+### Published-number comparison (when real archives + released .bin land)
+# Evaluates every published row (4x H3.6M + 3DHP-27) through the real
+# loaders and the torch-checkpoint converter; prints achieved vs published.
+python scripts/published_eval.py --data-root data/ --ckpt-dir checkpoint/released/
