@@ -39,6 +39,37 @@ N_ACTIONS = int(os.environ.get("STUDY_ACTIONS", "8"))
 DDIM_EVAL = int(os.environ.get("STUDY_DDIM", "9"))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "accuracy_study.json")
 
+# The bench default may only be a path that passes BOTH budgets vs the
+# parity path (VERDICT round-2 Next #2/#10): an absolute test-MPJPE delta
+# bound AND a relative one, so the rule transfers across operating points
+# (0.1 mm is 0.5% at a 20 mm baseline but 0.01% at the round-2 study's
+# near-chance 954 mm baseline).
+ABS_BUDGET_MM, REL_BUDGET = 0.1, 0.005
+
+
+def compute_gate(results, base_mpjpe):
+    """Pass/fail per eval path vs the flax_f32 parity baseline.
+
+    results: {path_name: {"e1": test_mpjpe_mm, ...}}; returns the gate
+    table written to accuracy_study.json (tested in tests/test_metrics.py).
+    """
+    gate = {}
+    for k, r in results.items():
+        if k == "flax_f32":
+            continue
+        delta = r["e1"] - base_mpjpe
+        gate[k] = dict(
+            delta_mm=round(delta, 5),
+            delta_rel=round(delta / base_mpjpe, 6),
+            passes_abs=bool(abs(delta) <= ABS_BUDGET_MM),
+            passes_rel=bool(abs(delta) <= REL_BUDGET * base_mpjpe),
+            passes=bool(
+                abs(delta) <= ABS_BUDGET_MM
+                and abs(delta) <= REL_BUDGET * base_mpjpe
+            ),
+        )
+    return gate
+
 
 def main():
     import jax
@@ -208,22 +239,7 @@ def main():
                 clip_frac=round(float((np.abs(p) >= 0.999).mean()), 4),
             )
 
-    # Gate: the bench default must pass BOTH the absolute budget (0.1 mm on
-    # the test-MPJPE delta) and the relative one (<0.5% of the baseline
-    # MPJPE) so the rule transfers across operating points.
-    ABS_BUDGET_MM, REL_BUDGET = 0.1, 0.005
-    gate = {}
-    for k in results:
-        if k == "flax_f32":
-            continue
-        delta = results[k]["e1"] - base
-        gate[k] = dict(
-            delta_mm=round(delta, 5),
-            delta_rel=round(delta / base, 6),
-            passes_abs=bool(abs(delta) <= ABS_BUDGET_MM),
-            passes_rel=bool(abs(delta) <= REL_BUDGET * base),
-            passes=bool(abs(delta) <= ABS_BUDGET_MM and abs(delta) <= REL_BUDGET * base),
-        )
+    gate = compute_gate(results, base)
 
     table = {
         "config": dict(frames=FRAMES, embed=EMBED, depth=DEPTH, epochs=EPOCHS,

@@ -185,3 +185,34 @@ def test_pck_auc_golden_fixture():
         [(dists <= th).mean() for th in np.arange(0, 151, 5)]
     )
     assert auc(pred, target, valid_mask=mask) == pytest.approx(expected)
+
+
+def test_accuracy_gate_rule():
+    """The bench-default gate (scripts/accuracy_study.py::compute_gate) is
+    a BOTH-budgets rule: absolute test-MPJPE delta <= 0.1 mm AND relative
+    delta <= 0.5% of the parity baseline, so it stays meaningful at any
+    operating point (at a 954 mm near-chance baseline the relative budget
+    is the binding one; at 20 mm the absolute one)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from accuracy_study import compute_gate
+
+    # 30 mm operating point: rel budget = 0.15 mm, abs budget = 0.1 mm.
+    results = {
+        "flax_f32": {"e1": 30.0},
+        "inside_both": {"e1": 30.05},
+        "abs_fail": {"e1": 30.12},      # 0.12 > 0.1 abs even though < 0.15 rel
+        "both_fail": {"e1": 30.5},
+    }
+    gate = compute_gate(results, 30.0)
+    assert "flax_f32" not in gate
+    assert gate["inside_both"]["passes"]
+    assert not gate["abs_fail"]["passes"] and gate["abs_fail"]["passes_rel"]
+    assert not gate["both_fail"]["passes_abs"] and not gate["both_fail"]["passes_rel"]
+
+    # 954 mm near-chance baseline: the same 0.5 mm delta that FAILS the
+    # absolute budget would pass a purely relative rule — both must hold.
+    gate_hi = compute_gate({"flax_f32": {"e1": 954.0}, "p": {"e1": 954.5}}, 954.0)
+    assert gate_hi["p"]["passes_rel"] and not gate_hi["p"]["passes"]
