@@ -26,6 +26,7 @@ index in chunking.py. Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -224,22 +225,35 @@ class SequenceRecord:
     camera: Optional[np.ndarray]
 
 
-def _camera_space_poses(anim):
+# Derived-data memo: world->camera conversion per (dataset, subject,
+# action), weakly keyed on the dataset object so it dies with it. The
+# removed prepare/fetch port cached this by WRITING anim["positions_3d"]
+# into the input dataset; the memo keeps construction of the train/val/test
+# split trio O(1 conversion) per sequence without mutating any input.
+_CAM_SPACE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _camera_space_poses(dataset, subject, action):
     """Root-centred camera-space 3D for each camera of one animation
     (reference prepare_data semantics), or None when the animation carries
     no mocap (2D-only custom footage). Precomputed per-camera lists
     (``positions_3d``) pass through so callers can inject viz-space poses."""
+    anim = dataset[subject][action]
     if "positions_3d" in anim:
         return anim["positions_3d"]
     if "positions" not in anim:
         return None
-    out = []
-    for cam in anim["cameras"]:
-        pos_3d = world_to_camera(
-            anim["positions"], R=cam["orientation"], t=cam["translation"]
-        )
-        out.append(pos_3d - pos_3d[:, :1])
-    return out
+    per_ds = _CAM_SPACE_CACHE.setdefault(dataset, {})
+    key = (subject, action)
+    if key not in per_ds:
+        out = []
+        for cam in anim["cameras"]:
+            pos_3d = world_to_camera(
+                anim["positions"], R=cam["orientation"], t=cam["translation"]
+            )
+            out.append(pos_3d - pos_3d[:, :1])
+        per_ds[key] = out
+    return per_ds[key]
 
 
 def _sequence_records(dataset, subjects, keypoints, action_filter):
@@ -267,7 +281,7 @@ def _sequence_records(dataset, subjects, keypoints, action_filter):
             ):
                 continue
             kp_cams = keypoints[subject][action]
-            poses_3d = _camera_space_poses(dataset[subject][action])
+            poses_3d = _camera_space_poses(dataset, subject, action)
             if poses_3d is not None:
                 assert len(poses_3d) == len(kp_cams), "Camera count mismatch"
             cams = dataset.cameras()[subject]

@@ -22,9 +22,14 @@ Implementations:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# exp(x) lowers to exp2(x * log2e) on the TPU VPU; folding log2e into the
+# attention scale turns the per-logit exp into a bare exp2.
+_LOG2E = 1.4426950408889634
 
 
 def grand_attention(q, k, v, scale=None):
@@ -43,6 +48,46 @@ def grand_attention(q, k, v, scale=None):
     return out - v
 
 
+def grand_attend_tile(qf, kf, vf, scale, mask, dot):
+    """Shared GRAND epilogue for one [M, D] tile:
+    softmax(qf kf^T * scale [+ mask]) vf - vf, f32 accumulation.
+
+    The ONE implementation of the dtype-tuned softmax epilogue, used by
+    both the pallas-attention kernels here and every fused-block kernel
+    (fused_block._grand_attend). ``dot(a, b, dims)`` is the caller's
+    dot_general wrapper — each caller pins its own contraction precision
+    (fused_block._dot_f32 pins DIFF_FUSED_F32_PREC; the kernels in this
+    module honour the session matmul precision for f32 operands).
+
+    Epilogue choice (A/B-measured on v5e, PERF.md round-3): f32 DEFERS the
+    normalisation past the AV matmul (divide the [M, D] output by the row
+    sum instead of the [M, M] probabilities) and folds log2e into the scale
+    so the per-logit exp lowers to a bare exp2 — +2% on the f32 bench; bf16
+    keeps the classic normalise-then-AV form, which measured faster there
+    (the separated epilogue defeats the divide+cast fusion feeding the MXU).
+
+    DIFF_FUSED_ABLATE_SOFTMAX=1 (perf probes only, wrong numerics) skips
+    the whole epilogue — the runtime delta isolates the attention VPU cost
+    from the GEMM floor.
+    """
+    bf16 = vf.dtype == jnp.bfloat16
+    logits = dot(qf, kf, ((1,), (1,))) * (scale if bf16 else scale * _LOG2E)
+    if mask is not None:
+        logits = logits + mask
+    if os.environ.get("DIFF_FUSED_ABLATE_SOFTMAX") == "1":
+        return dot(logits.astype(vf.dtype), vf, ((1,), (0,))) - vf.astype(jnp.float32)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    if bf16:
+        probs = jnp.exp(logits)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        out = dot(probs.astype(vf.dtype), vf, ((1,), (0,)))
+        return out - vf.astype(jnp.float32)
+    e = jnp.exp2(logits)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    out = dot(e.astype(vf.dtype), vf, ((1,), (0,)))
+    return out * r - vf.astype(jnp.float32)
+
+
 def _attend_tile(qf, kf, vf, scale, mask=None):
     """softmax(qf kf^T * scale [+ mask]) vf - vf for one [M, D] tile."""
     # bf16 operands pin DEFAULT: a global jax_default_matmul_precision=
@@ -50,40 +95,16 @@ def _attend_tile(qf, kf, vf, scale, mask=None):
     # rejects ("Bad lhs type"). f32 operands pass precision=None so the
     # SESSION's matmul precision applies — use_pallas_attention + f32 +
     # matmul_precision='highest' (the parity config) keeps exact-f32
-    # contraction on TPU. (The fused fast path pins its own precision via
-    # fused_block._dot_f32 / DIFF_FUSED_F32_PREC — that knob does not apply
-    # here.)
-    bf16 = qf.dtype == jnp.bfloat16
-    prec = jax.lax.Precision.DEFAULT if bf16 else None
-    # Dtype-tuned softmax epilogue, mirroring fused_block._grand_attend
-    # (A/B-measured on v5e): f32 defers the normalisation past the AV
-    # matmul and folds log2e into the scale (bare exp2 on the VPU); bf16
-    # keeps the classic normalise-then-AV form, which measured faster.
-    logits = jax.lax.dot_general(
-        qf, kf,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) * (scale if bf16 else scale * 1.4426950408889634)
-    if mask is not None:
-        logits = logits + mask
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    if bf16:
-        probs = jnp.exp(logits)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            probs.astype(vf.dtype), vf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+    # contraction on TPU.
+    prec = jax.lax.Precision.DEFAULT if qf.dtype == jnp.bfloat16 else None
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        return out - vf.astype(jnp.float32)
-    e = jnp.exp2(logits)
-    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        e.astype(vf.dtype), vf,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    return out * r - vf.astype(jnp.float32)
+
+    return grand_attend_tile(qf, kf, vf, scale, mask, dot)
 
 
 def _packed_grand_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n, tpg):

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diff3dhpe_tpu.ops.attention import grand_attend_tile
+
 
 def _erf(x):
     """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7) — Mosaic has
@@ -42,11 +44,6 @@ def _gelu_exact(x):
     xf = x.astype(jnp.float32)
     return (0.5 * xf * (1.0 + _erf(xf * np.float32(1.0 / np.sqrt(2.0))))).astype(x.dtype)
 
-
-# exp(x) lowers to exp2(x * log2e) on the TPU VPU; folding log2e into the
-# attention scale (one scalar multiply at trace time) turns the per-logit
-# exp into a bare exp2, saving one [tile, tile] multiply per head.
-_LOG2E = 1.4426950408889634
 
 _F32_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,   # 1 bf16 MXU pass
@@ -104,42 +101,11 @@ def _dot_f32(a, b, dims):
 
 def _grand_attend(q, k, v, scale, mask):
     """One head's GRAND attention tile: softmax(q k^T * scale [+ mask]) @ v
-    - v, f32 accumulation. Shared by every fused-block kernel.
-
-    Dtype-tuned softmax epilogue (A/B-measured on v5e, PERF.md round-3):
-
-    - f32 operands DEFER the normalisation past the AV matmul (the row sum
-      is a per-row scalar, so dividing the [M, d] AV output replaces the
-      [M, M] probability divide) and fold log2e into the scale so the
-      per-logit exp lowers to a bare exp2 — together +2% on the f32 bench
-      (15.8 -> 16.1 seq/s).
-    - bf16 operands keep the classic normalise-then-AV form: the deferred
-      variant measured SLOWER there (23.0/23.2 vs 22.2 ms B=8 trunk — the
-      separated f32 epilogue defeats whatever fusion Mosaic finds for the
-      divide+cast feeding the MXU).
-    """
-    bf16 = v.dtype == jnp.bfloat16
-    logits = _dot_f32(q, k, ((1,), (1,))) * (scale if bf16 else scale * _LOG2E)
-    if mask is not None:
-        logits = logits + mask
-    if os.environ.get("DIFF_FUSED_ABLATE_SOFTMAX") == "1":
-        # MEASUREMENT ABLATION (wrong numerics, perf probes only): skip the
-        # whole softmax epilogue — max/exp/sum/normalise — and feed the raw
-        # logits straight to the AV matmul. The runtime delta vs the real
-        # kernel isolates the attention VPU cost from the GEMM floor
-        # (PERF.md round-3 "irreducible gap" accounting).
-        av = _dot_f32(logits.astype(v.dtype), v, ((1,), (0,)))
-        return av - v.astype(jnp.float32)
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    if bf16:
-        probs = jnp.exp(logits)
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-        av = _dot_f32(probs.astype(v.dtype), v, ((1,), (0,)))
-        return av - v.astype(jnp.float32)
-    e = jnp.exp2(logits)
-    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-    av = _dot_f32(e.astype(v.dtype), v, ((1,), (0,)))
-    return av * r - v.astype(jnp.float32)
+    - v, f32 accumulation. Shared by every fused-block kernel; the
+    dtype-tuned epilogue itself (and the DIFF_FUSED_ABLATE_SOFTMAX probe)
+    lives ONCE in attention.grand_attend_tile — here it contracts through
+    _dot_f32, which pins the DIFF_FUSED_F32_PREC precision."""
+    return grand_attend_tile(q, k, v, scale, mask, _dot_f32)
 
 def _layernorm_rows(x, scale, bias, eps=1e-6):
     xf = x.astype(jnp.float32)

@@ -75,12 +75,19 @@ def eval_row(name, data_root, ckpt_dir, batch_eval, fast_eval, ddim_override=Non
             ckpt = orbax
         else:
             return dict(status="missing_checkpoint", needed=[ckpt, orbax])
-    data_file = os.path.join(
-        data_root,
-        "data_3d_h36m.npz" if cli == "run" else "data_train_3dhp.npz",
-    )
-    if not os.path.isfile(data_file):
-        return dict(status="missing_data", needed=[data_file])
+    if cli == "run":
+        data_files = [
+            os.path.join(data_root, "data_3d_h36m.npz"),
+            os.path.join(data_root, f"data_2d_h36m_{keypoints}.npz"),
+        ]
+    else:
+        data_files = [
+            os.path.join(data_root, "data_train_3dhp.npz"),
+            os.path.join(data_root, "data_test_3dhp.npz"),
+        ]
+    missing = [p for p in data_files if not os.path.isfile(p)]
+    if missing:
+        return dict(status="missing_data", needed=missing)
 
     argv = [
         "--config", config, "--data-root", data_root,
@@ -125,6 +132,7 @@ def main(argv=None):
                     help="fused Pallas eval kernels (accuracy-gated path)")
     ap.add_argument("--ddim", type=int, default=None,
                     help="override the per-row eval DDIM step count")
+    ap.add_argument("--out", default=OUT, help="output JSON path")
     # Unknown flags pass through to the row CLI (e.g. --embed_dim 32
     # --transformer_depth 1 for a miniature plumbing check, or --actions).
     args, extra = ap.parse_known_args(argv)
@@ -135,19 +143,22 @@ def main(argv=None):
         if name not in ROWS:
             raise SystemExit(f"unknown row {name!r}; rows: {list(ROWS)}")
         print(f"=== {name} ===")
-        table[name] = eval_row(
-            name, args.data_root, args.ckpt_dir, args.batch_size_eval,
-            args.fast_eval, args.ddim, extra,
-        )
+        try:
+            table[name] = eval_row(
+                name, args.data_root, args.ckpt_dir, args.batch_size_eval,
+                args.fast_eval, args.ddim, extra,
+            )
+        except Exception as e:  # a bad row must not lose the finished ones
+            table[name] = dict(status="error", error=f"{type(e).__name__}: {e}")
         print(json.dumps(table[name], indent=2))
-
-    with open(OUT, "w") as f:
-        json.dump(table, f, indent=2)
+        with open(args.out, "w") as f:  # incremental: partial drops keep rows
+            json.dump(table, f, indent=2)
 
     print(f"\n{'row':<14}{'metric':<10}{'published':>10}{'achieved':>10}{'delta':>8}")
     for name, row in table.items():
         if row["status"] != "ok":
-            print(f"{name:<14}{row['status']} (needs {row['needed'][0]})")
+            why = row.get("error") or f"needs {row['needed'][0]}"
+            print(f"{name:<14}{row['status']} ({why})")
             continue
         for k, pub in row["published"].items():
             print(f"{name:<14}{k:<10}{pub:>10}{row['achieved'][k]:>10}"

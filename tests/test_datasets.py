@@ -225,3 +225,26 @@ def test_latent_synthetic_motion_is_manifold_structured():
     assert cams["S9"] is cams["S1"]
     wcams = walk.cameras()
     assert wcams["S9"] is not wcams["S1"]  # walk mode keeps real extrinsics
+
+
+def test_camera_space_conversion_memoized_across_splits(monkeypatch):
+    """world->camera conversion runs once per (subject, action) per dataset:
+    the train/val/test trio over one dataset must not recompute it (the old
+    port cached by mutating the input; the weak memo keeps that cost profile
+    without the mutation)."""
+    import diff3dhpe_tpu.data.dataset as dsmod
+
+    calls = []
+    orig = dsmod.world_to_camera
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dsmod, "world_to_camera", counting)
+    cfg = Config(stride=9, number_of_frames=9, subjects_train="S1", subjects_test="S9")
+    dataset, kp = make_synthetic_h36m_like(subjects=("S1", "S9"), n_frames=30, seed=0)
+    for split in ("train", "val", "test", "test"):
+        PoseDataset(cfg, dataset, "data", split, keypoints_data=kp)
+    # S1 and S9 each: 2 actions x 4 cameras, converted exactly once.
+    assert len(calls) == 2 * 2 * 4

@@ -25,7 +25,7 @@ import pytest
 
 from conftest import has_reference
 
-from test_prepare_h36m import ACTIONS, _make_fake_archive
+from test_prepare_h36m import _make_fake_archive
 
 
 def test_prepare_to_cli_eval_chain(tmp_path):
@@ -99,6 +99,7 @@ def test_published_eval_table_in_miniature(tmp_path):
 
     table = published_eval.main([
         "--data-root", data_dir, "--ckpt-dir", ckpt_dir,
+        "--out", str(tmp_path / "published_eval.json"),
         "--rows", "h36m_gt_81,h36m_gt_243", "--ddim", "2", *tiny,
     ])
     row = table["h36m_gt_81"]
