@@ -66,10 +66,17 @@ def grand_attend_tile(qf, kf, vf, scale, mask, dot):
     keeps the classic normalise-then-AV form, which measured faster there
     (the separated epilogue defeats the divide+cast fusion feeding the MXU).
 
-    DIFF_FUSED_ABLATE_SOFTMAX=1 (perf probes only, wrong numerics) skips
-    the whole epilogue — the runtime delta isolates the attention VPU cost
-    from the GEMM floor.
+    Measurement ablations (perf probes only, wrong numerics; read at trace
+    time, see scripts/probe_irreducible.py):
+    - DIFF_FUSED_ABLATE_SOFTMAX=1 skips the softmax epilogue (max/exp/sum/
+      normalise) but keeps both attention matmuls — the delta isolates the
+      attention VPU cost;
+    - DIFF_FUSED_ABLATE_ATTEND=1 skips the attention core entirely (logits
+      matmul, softmax, AV matmul) — what remains is the kernels' GEMM+LN
+      floor, the empirical roofline the full kernel is judged against.
     """
+    if os.environ.get("DIFF_FUSED_ABLATE_ATTEND") == "1":
+        return 0.0 - vf.astype(jnp.float32)
     bf16 = vf.dtype == jnp.bfloat16
     logits = dot(qf, kf, ((1,), (1,))) * (scale if bf16 else scale * _LOG2E)
     if mask is not None:

@@ -408,7 +408,15 @@ def fused_transformer_block(
     # GEMM-side storage) carries double-width row blocks next to the bf16
     # buffers, so it also gets a haircut.
     mixed = cdt_itemsize != itemsize
-    budget_bytes = 3_100_000 - (700_000 if has_dp else 0) - (800_000 if mixed else 0)
+    # DIFF_FUSED_F32_PREC=highest expands every f32 contraction into 6 bf16
+    # MXU passes whose operand splits need extra kernel stack; combined with
+    # the round-3 deferred-norm f32 epilogue (e and its row-sum stay live
+    # across the AV dot) the default sizing tips ~0.2 MB over the 16 MB
+    # scoped-vmem limit — shave the step budget for that mode.
+    f32_hi = (x.dtype == jnp.float32
+              and f32_contract_precision() == jax.lax.Precision.HIGHEST)
+    budget_bytes = (3_100_000 - (700_000 if has_dp else 0)
+                    - (800_000 if mixed else 0) - (500_000 if f32_hi else 0))
     budget_rows = max(tile_rows, (budget_bytes // (3 * c * cdt_itemsize)) // 8 * 8 or tile_rows)
     tiles = tiles_per_step
     while tile_rows * tiles > budget_rows and tiles > 1:

@@ -197,6 +197,12 @@ def main():
 
     import subprocess
     for name, _, _ in variants:
+        # Resume after a crash: a variant whose npz already exists is done
+        # (remote-TPU evals cost ~10-15 min each). STUDY_FRESH=1 re-runs all.
+        if (os.environ.get("STUDY_FRESH") != "1"
+                and os.path.isfile(os.path.join(outdir, f"{name}.npz"))):
+            print(f"{name}: reusing existing {outdir}/{name}.npz")
+            continue
         env = dict(os.environ, STUDY_VARIANT=name, STUDY_REUSE="1")
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
         if r.returncode != 0:
