@@ -51,6 +51,7 @@ def run_one(dtype_name: str):
         batch_size=BATCH, batch_size_eval=4 * BATCH, epochs=EPOCHS,
         learning_rate=4e-4, subjects_train="S1,S5", subjects_test="S9",
         checkpoint=os.path.join(OUTDIR, f"ckpt_{dtype_name}"),
+        checkpoint_frequency=10,
         patience=EPOCHS, fast_train=True, compute_dtype=dtype_name,
         # Per-epoch validation through the fused eval kernels (the flax
         # val eval dominates the epoch otherwise; see accuracy_study.py).
@@ -71,8 +72,19 @@ def run_one(dtype_name: str):
     runner = Runner(cfg, train_ds.num_joints, train_ds.joints_left,
                     train_ds.joints_right)
     runner.set_params(runner.init_params())  # seed fixed in Config -> same init
+    # Wedge protection: the remote-TPU relay can stall mid-run (PERF.md
+    # round-3 harness notes); with checkpoint_frequency=10 a restarted run
+    # resumes from the newest periodic checkpoint instead of losing hours.
+    resume = None
+    if os.path.isdir(cfg.checkpoint):
+        snaps = sorted(
+            (d for d in os.listdir(cfg.checkpoint) if d.startswith("epoch_")),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        if snaps:
+            resume = os.path.join(cfg.checkpoint, snaps[-1])
     t0 = time.time()
-    fit = runner.fit(train_ds, val_ds)
+    fit = runner.fit(train_ds, val_ds, resume=resume)
     train_s = time.time() - t0
 
     import jax
@@ -86,6 +98,9 @@ def run_one(dtype_name: str):
         test_mpjpe_mm=float(m["e1"]),
         test_p_mpjpe_mm=float(m["e2"]),
         train_seconds=round(train_s, 1),
+        # Non-None when a relay wedge forced a restart: the loss curves
+        # above then cover only the post-resume epochs.
+        resumed_from=resume,
     )
     os.makedirs(OUTDIR, exist_ok=True)
     with open(os.path.join(OUTDIR, f"{dtype_name}.json"), "w") as f:

@@ -1,0 +1,51 @@
+#!/bin/bash
+# Stall watchdog for long remote-TPU jobs.
+#
+# The remote-TPU relay occasionally wedges mid-request (a blocked client
+# call never returns and blocks the whole relay; observed twice in round 3,
+# see PERF.md harness notes). Long-running jobs whose scripts support
+# resume (scripts/accuracy_study.py, scripts/dtype_equivalence.py) can be
+# made wedge-proof by restarting them when their log stops moving.
+#
+# Usage: scripts/tpu_watchdog.sh LOGFILE STALL_SECS MAX_RESTARTS CMD...
+# Runs CMD >> LOGFILE in its own session (setsid), so a stall kill targets
+# exactly CMD's process tree by process-group id — never by name pattern.
+# If LOGFILE's mtime goes stale for STALL_SECS while CMD runs, the tree is
+# killed and CMD restarted, up to MAX_RESTARTS times. Exits with CMD's
+# status once it finishes on its own.
+set -u
+LOG=$1; STALL=$2; MAXR=$3; shift 3
+
+restarts=0
+while :; do
+  setsid "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  echo "[watchdog] started pid=$pid (restart #$restarts)" >> "$LOG"
+  stalled=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    # Re-check liveness AFTER the sleep: a job that exits right after its
+    # last log write must not be misread as stalled.
+    kill -0 "$pid" 2>/dev/null || break
+    age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
+    if [ "$age" -ge "$STALL" ]; then
+      echo "[watchdog] log stale ${age}s >= ${STALL}s — killing group $pid" >> "$LOG"
+      kill -- -"$pid" 2>/dev/null; sleep 5; kill -9 -- -"$pid" 2>/dev/null
+      stalled=1
+      break
+    fi
+  done
+  wait "$pid" 2>/dev/null
+  rc=$?
+  if [ "$stalled" -eq 0 ] && [ "$rc" -eq 0 ]; then
+    echo "[watchdog] finished ok" >> "$LOG"
+    exit 0
+  fi
+  restarts=$((restarts + 1))
+  if [ "$restarts" -gt "$MAXR" ]; then
+    echo "[watchdog] giving up after $MAXR restarts (last rc=$rc)" >> "$LOG"
+    exit 1
+  fi
+  echo "[watchdog] restarting after rc=$rc" >> "$LOG"
+  sleep 120
+done
