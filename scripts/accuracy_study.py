@@ -102,6 +102,34 @@ def main():
         # (PERF.md "Training throughput"); remat is gradient-exact.
         remat=FRAMES > 100,
     )
+    # Artifact fingerprint: the checkpoint and per-variant npz files are
+    # gitignored and survive across rounds at the same paths — a study run
+    # must never silently mix weights/predictions from a DIFFERENT task or
+    # model shape (e.g. the round-2 unstructured-walk task) into a table
+    # labeled with this config. Mismatch invalidates reuse. The guard runs
+    # BEFORE any jax/device work so it fails fast even when the TPU relay
+    # is down.
+    fingerprint = dict(frames=FRAMES, embed=EMBED, depth=DEPTH,
+                       actions=N_ACTIONS, motion="latent", seed=0)
+    fp_path = os.path.join(cfg.checkpoint, "task_fingerprint.json")
+    stale = False
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            stale = json.load(f) != fingerprint
+    elif os.path.isdir(cfg.checkpoint):
+        stale = True  # pre-fingerprint artifacts: provenance unknown
+    if stale:
+        raise SystemExit(
+            f"{cfg.checkpoint} holds artifacts from a different study config "
+            f"(see {fp_path}); delete scripts/study_ckpt and scripts/study_out "
+            "or set a different checkpoint dir before re-running."
+        )
+    # Stamp provenance BEFORE training so a mid-run crash stays resumable.
+    os.makedirs(cfg.checkpoint, exist_ok=True)
+    if not os.path.exists(fp_path):
+        with open(fp_path, "w") as f:
+            json.dump(fingerprint, f)
+
     # motion="latent": a LEARNABLE lifting task (poses on one fixed low-dim
     # manifold viewed through SHARED cameras, so monocular depth is
     # inferable and the held-out floor is ~0) — the round-2 study trained
@@ -120,6 +148,7 @@ def main():
 
     runner = Runner(cfg, test_ds.num_joints, test_ds.joints_left, test_ds.joints_right)
     runner.set_params(runner.init_params())
+
     best = os.path.join(cfg.checkpoint, "best_epoch")
     if os.environ.get("STUDY_REUSE", "1") == "1" and os.path.isdir(best):
         from diff3dhpe_tpu.io.checkpoint import restore_checkpoint
@@ -167,6 +196,24 @@ def main():
     only = os.environ.get("STUDY_VARIANT")
     outdir = os.path.join(os.path.dirname(OUT), "study_out")
     os.makedirs(outdir, exist_ok=True)
+    # Same stale-artifact guard for the per-variant npz cache: predictions
+    # from a different task/config must not be mixed into this table.
+    ofp_path = os.path.join(outdir, "task_fingerprint.json")
+    if os.path.exists(ofp_path):
+        with open(ofp_path) as f:
+            if json.load(f) != fingerprint:
+                raise SystemExit(
+                    f"{outdir} holds variant npz files from a different "
+                    f"study config (see {ofp_path}); delete it first."
+                )
+    elif any(fn.endswith(".npz") for fn in os.listdir(outdir)):
+        raise SystemExit(
+            f"{outdir} holds pre-fingerprint npz files of unknown "
+            "provenance; delete it first."
+        )
+    else:
+        with open(ofp_path, "w") as f:
+            json.dump(fingerprint, f)
 
     def eval_variant(name, patch, f32_prec):
         if f32_prec is not None:

@@ -90,14 +90,20 @@ def run_one(dtype_name: str):
     import jax
 
     m = runner.evaluate(test_ds, key=jax.random.PRNGKey(123))
+    n_epochs_run = len(fit["losses_train"])
     report = dict(
         dtype=dtype_name,
         losses_train=[float(v) for v in fit["losses_train"]],
-        losses_val_mpjpe=[float(v) for v in fit.get("losses_valid", [])],
+        # Runner._validate returns METERS; report mm like the other fields.
+        losses_val_mpjpe_mm=[float(v) * 1000.0 for v in fit.get("losses_valid", [])],
         best_val_mpjpe_mm=float(fit["min_loss"]),
         test_mpjpe_mm=float(m["e1"]),
         test_p_mpjpe_mm=float(m["e2"]),
         train_seconds=round(train_s, 1),
+        # Resume-proof throughput basis: wall seconds per epoch actually
+        # run this invocation (train_seconds alone covers only post-resume
+        # epochs and would distort the f32/bf16 speedup ratio).
+        seconds_per_epoch=round(train_s / n_epochs_run, 2) if n_epochs_run else None,
         # Non-None when a relay wedge forced a restart: the loss curves
         # above then cover only the post-resume epochs.
         resumed_from=resume,
@@ -131,16 +137,24 @@ def main():
             runs[dtype_name] = json.load(f)
 
     f32, bf16 = runs["float32"], runs["bfloat16"]
-    lf, lb = f32["losses_train"][-1], bf16["losses_train"][-1]
+    # A run that resumed exactly at its final epoch has an empty curve
+    # (everything it would report is already in best_/test_ fields).
+    lf = f32["losses_train"][-1] if f32["losses_train"] else None
+    lb = bf16["losses_train"][-1] if bf16["losses_train"] else None
+    spe_f, spe_b = f32.get("seconds_per_epoch"), bf16.get("seconds_per_epoch")
     summary = dict(
         config=dict(frames=FRAMES, embed=EMBED, depth=DEPTH, epochs=EPOCHS,
                     batch=BATCH, actions=N_ACTIONS, motion="latent",
                     fast_train=True),
         runs=runs,
-        final_train_loss_rel_diff=abs(lb - lf) / max(abs(lf), 1e-12),
+        final_train_loss_rel_diff=(
+            abs(lb - lf) / max(abs(lf), 1e-12)
+            if lf is not None and lb is not None else None
+        ),
         best_val_mpjpe_diff_mm=bf16["best_val_mpjpe_mm"] - f32["best_val_mpjpe_mm"],
         test_mpjpe_diff_mm=bf16["test_mpjpe_mm"] - f32["test_mpjpe_mm"],
-        speedup=f32["train_seconds"] / max(bf16["train_seconds"], 1e-9),
+        # Per-epoch basis: immune to mid-run resumes shortening train_seconds.
+        speedup=(spe_f / spe_b) if spe_f and spe_b else None,
     )
     with open(OUT, "w") as f:
         json.dump(summary, f, indent=2)

@@ -18,7 +18,10 @@ LOG=$1; STALL=$2; MAXR=$3; shift 3
 
 restarts=0
 while :; do
-  setsid "$@" >> "$LOG" 2>&1 &
+  # PYTHONUNBUFFERED: with stdout redirected to a file, python block-buffers
+  # (~8KB) — at ~100 bytes per epoch line a healthy run's log mtime could
+  # otherwise go stale for hours and trip the stall detector.
+  setsid env PYTHONUNBUFFERED=1 "$@" >> "$LOG" 2>&1 &
   pid=$!
   echo "[watchdog] started pid=$pid (restart #$restarts)" >> "$LOG"
   stalled=0
