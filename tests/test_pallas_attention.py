@@ -52,6 +52,60 @@ def test_custom_scale(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=1e-5)
 
 
+def _plain_dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_grand_attend_tile_epilogue_both_dtypes(rng, dtype):
+    """The shared softmax epilogue (grand_attend_tile) picks a different
+    formulation per dtype (deferred-norm + exp2 for f32, normalise-then-AV
+    for bf16 — PERF.md round-3 A/B); both must equal the XLA reference."""
+    from diff3dhpe_tpu.ops.attention import grand_attend_tile
+
+    n, d = 17, 64
+    q, k, v = (_rand(rng, (n, d)).astype(dtype) for _ in range(3))
+    out = grand_attend_tile(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v, d ** -0.5, None, _plain_dot)
+    expected = grand_attention(q, k, v).astype(jnp.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 0.02
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=tol, atol=tol)
+
+
+def test_grand_attend_tile_ablation_gates(rng, monkeypatch):
+    """The measurement-only ablation env gates (probe_irreducible.py) are
+    OFF by default and produce the documented wrong-numerics stand-ins."""
+    from diff3dhpe_tpu.ops.attention import grand_attend_tile
+
+    n, d = 17, 64
+    q, k, v = (_rand(rng, (n, d)) for _ in range(3))
+    scale = d ** -0.5
+    full = grand_attend_tile(q, k, v, scale, None, _plain_dot)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(grand_attention(q, k, v)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    monkeypatch.setenv("DIFF_FUSED_ABLATE_SOFTMAX", "1")
+    no_sm = grand_attend_tile(q, k, v, scale, None, _plain_dot)
+    from diff3dhpe_tpu.ops.attention import _LOG2E
+
+    logits = _plain_dot(q, k, ((1,), (1,))) * (scale * _LOG2E)
+    np.testing.assert_allclose(
+        np.asarray(no_sm), np.asarray(_plain_dot(logits, v, ((1,), (0,))) - v),
+        rtol=1e-5, atol=1e-5,
+    )
+    monkeypatch.delenv("DIFF_FUSED_ABLATE_SOFTMAX")
+
+    monkeypatch.setenv("DIFF_FUSED_ABLATE_ATTEND", "1")
+    no_att = grand_attend_tile(q, k, v, scale, None, _plain_dot)
+    np.testing.assert_allclose(np.asarray(no_att), -np.asarray(v), rtol=0, atol=0)
+
+
 def test_model_with_pallas_matches_xla(rng):
     """Whole denoiser forward with use_pallas=True == XLA attention path."""
     from diff3dhpe_tpu.models import MixSTEDenoiser
