@@ -251,7 +251,14 @@ def _camera_space_poses(dataset, subject, action):
             pos_3d = world_to_camera(
                 anim["positions"], R=cam["orientation"], t=cam["translation"]
             )
-            out.append(pos_3d - pos_3d[:, :1])
+            pos_3d = pos_3d - pos_3d[:, :1]
+            # The memo is handed UNCOPIED to every split built over this
+            # dataset (train/val/test share it); freezing it turns any
+            # future in-place transform — the bug class the record-stream
+            # rewrite removed for 2D — into an immediate error instead of
+            # silent cross-split corruption.
+            pos_3d.setflags(write=False)
+            out.append(pos_3d)
         per_ds[key] = out
     return per_ds[key]
 
@@ -259,8 +266,9 @@ def _camera_space_poses(dataset, subject, action):
 def _sequence_records(dataset, subjects, keypoints, action_filter):
     """Stream of SequenceRecords for the requested subjects.
 
-    PURE over its inputs: `dataset` and `keypoints` are never written, and
-    every transformed array is a fresh copy. (The round-2 port of the
+    PURE over its inputs: `dataset` and `keypoints` are never written; the
+    2D arrays are fresh copies and the memoized camera-space 3D arrays are
+    shared read-only (frozen in _camera_space_poses). (The round-2 port of the
     reference's prepare/fetch phases screen-normalised the shared keypoint
     arrays in place, so constructing a second split over the same injected
     archive — exactly what the train/val pair does — silently normalised the

@@ -80,7 +80,10 @@ def grand_attend_tile(qf, kf, vf, scale, mask, dot):
     bf16 = vf.dtype == jnp.bfloat16
     logits = dot(qf, kf, ((1,), (1,))) * (scale if bf16 else scale * _LOG2E)
     if mask is not None:
-        logits = logits + mask
+        # The f32 path works in the log2 domain (exp2(x*log2e) == exp(x)),
+        # so the additive mask must be scaled by log2e too — exact for the
+        # current 0/-1e30 masks AND any finite bias a future caller passes.
+        logits = logits + (mask if bf16 else mask * _LOG2E)
     if os.environ.get("DIFF_FUSED_ABLATE_SOFTMAX") == "1":
         return dot(logits.astype(vf.dtype), vf, ((1,), (0,))) - vf.astype(jnp.float32)
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)

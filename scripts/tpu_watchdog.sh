@@ -12,12 +12,17 @@
 # exactly CMD's process tree by process-group id — never by name pattern.
 # If LOGFILE's mtime goes stale for STALL_SECS while CMD runs, the tree is
 # killed and CMD restarted, up to MAX_RESTARTS times. Exits with CMD's
-# status once it finishes on its own.
+# status once it finishes on its own. A run that fails within FAST_FAIL_SECS
+# (default 120, env-overridable) without having stalled is treated as a
+# deterministic failure (e.g. the study scripts' stale-artifact guards) and
+# its exit status is propagated immediately instead of retried.
 set -u
 LOG=$1; STALL=$2; MAXR=$3; shift 3
+FAST_FAIL_SECS=${FAST_FAIL_SECS:-120}
 
 restarts=0
 while :; do
+  t_start=$(date +%s)
   # PYTHONUNBUFFERED: with stdout redirected to a file, python block-buffers
   # (~8KB) — at ~100 bytes per epoch line a healthy run's log mtime could
   # otherwise go stale for hours and trip the stall detector.
@@ -44,10 +49,15 @@ while :; do
     echo "[watchdog] finished ok" >> "$LOG"
     exit 0
   fi
+  elapsed=$(( $(date +%s) - t_start ))
+  if [ "$stalled" -eq 0 ] && [ "$elapsed" -lt "$FAST_FAIL_SECS" ]; then
+    echo "[watchdog] failed in ${elapsed}s (rc=$rc) — deterministic failure, not retrying" >> "$LOG"
+    exit "$rc"
+  fi
   restarts=$((restarts + 1))
   if [ "$restarts" -gt "$MAXR" ]; then
     echo "[watchdog] giving up after $MAXR restarts (last rc=$rc)" >> "$LOG"
-    exit 1
+    exit "$rc"
   fi
   echo "[watchdog] restarting after rc=$rc" >> "$LOG"
   sleep 120

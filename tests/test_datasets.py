@@ -184,6 +184,12 @@ def test_shared_keypoints_archive_not_mutated_across_splits():
     # normalisation would pin them to ~-1.
     v = val.poses_2d[next(iter(val.poses_2d))]
     assert v.min() > -1.5 and v.max() < 1.5 and np.ptp(v) > 0.1
+    # The memoized camera-space 3D arrays (dataset._camera_space_poses) are
+    # handed to every split UNCOPIED; they are frozen so an in-place
+    # transform raises instead of silently corrupting sibling splits' GT.
+    key3 = next(iter(train.poses_3d))
+    with pytest.raises(ValueError):
+        train.poses_3d[key3][0, 0, 0] = 99.0
 
 
 def test_latent_synthetic_motion_is_manifold_structured():

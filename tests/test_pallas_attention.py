@@ -76,6 +76,28 @@ def test_grand_attend_tile_epilogue_both_dtypes(rng, dtype):
                                rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_grand_attend_tile_finite_mask(rng, dtype):
+    """A FINITE additive mask must mean softmax(qk*scale + mask) on both
+    dtype branches — the f32/exp2 branch works in the log2 domain and must
+    scale the mask by log2e (a raw add would apply mask*ln2 instead)."""
+    from diff3dhpe_tpu.ops.attention import grand_attend_tile
+
+    n, d = 17, 64
+    q, k, v = (_rand(rng, (n, d)).astype(dtype) for _ in range(3))
+    scale = d ** -0.5
+    mask = _rand(rng, (n, n)) * 3.0  # finite bias, not just 0/-1e30
+    out = grand_attend_tile(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v, scale, mask, _plain_dot)
+    logits = (_plain_dot(q.astype(jnp.float32), k.astype(jnp.float32),
+                         ((1,), (1,))) * scale + mask)
+    probs = jax.nn.softmax(logits, axis=-1)
+    expected = probs @ v.astype(jnp.float32) - v.astype(jnp.float32)
+    tol = 1e-5 if dtype == jnp.float32 else 0.02
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=tol, atol=tol)
+
+
 def test_grand_attend_tile_ablation_gates(rng, monkeypatch):
     """The measurement-only ablation env gates (probe_irreducible.py) are
     OFF by default and produce the documented wrong-numerics stand-ins."""
