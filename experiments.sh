@@ -29,6 +29,17 @@ python -m diff3dhpe_tpu.cli.run_3dhp --mesh-shape data:8 --batch-size-eval 512 -
 #   1.3x throughput mode when the budget does not apply.
 python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval -lr 4e-4 --lr-decay 0.99 -b 24 -e 200 --timesteps 1000 --sampling_timesteps 5 --keypoints gt --stride 243 --number-of-frames 243 -c checkpoint/h36m/gt/f243_fast/ --config configs/h36m_gt_s2s_243f.json
 
+### Recommended TPU TRAINING config (round-3 validated; PERF.md dtype section)
+# bf16 fast-train converges equivalently to f32 at 1.7-2.1x wall-clock
+# (scripts/dtype_equivalence.json). Keep eval f32 (bf16 eval gate-fails).
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval --compute-dtype bfloat16 -lr 4e-4 --lr-decay 0.99 -b 24 -e 200 --timesteps 1000 --sampling_timesteps 5 --keypoints gt --stride 243 --number-of-frames 243 -c checkpoint/h36m/gt/f243_bf16/ --config configs/h36m_gt_s2s_243f.json
+
+### Long-running TPU studies (wedge-proof: run through the stall watchdog)
+# bash scripts/tpu_watchdog.sh LOGFILE STALL_SECS MAX_RESTARTS CMD...
+bash scripts/tpu_watchdog.sh /tmp/accuracy_study.log 900 6 python scripts/accuracy_study.py   # trained-weight accuracy gate (bench defaults)
+bash scripts/tpu_watchdog.sh /tmp/dtype_eq.log 900 6 python scripts/dtype_equivalence.py      # f32-vs-bf16 training dynamics
+bash scripts/tpu_watchdog.sh /tmp/probe_irred.log 600 4 python scripts/probe_irreducible.py   # attention-ablation gap decomposition
+
 ### Visualisation
 python -m diff3dhpe_tpu.cli.viz --config configs/h36m_gt_s2s_ConditionalDiffusionMixSTES2SGRANDLinLift.json --evaluate best_epoch --viz-subject S11 --viz-action "Walking 1" --viz-camera 0 --viz-output viz_out
 
