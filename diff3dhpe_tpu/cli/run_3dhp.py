@@ -141,10 +141,11 @@ def main(argv=None):
             split="test", noise_std=cfg.test_extra_noise_std,
             joint_drop_rate=cfg.test_joint_drop, seq_filter=seq_name,
         )
-        m = runner.evaluate(seq_ds, action=seq_name)
-        # 3DHP metrics print in native units (mm); undo the runner's x1000.
+        # 3DHP poses are natively mm: unit_scale=1.0 keeps the per-sequence
+        # report in true mm (the reference also skips the x1000 here).
+        m = runner.evaluate(seq_ds, action=seq_name, unit_scale=1.0)
         for k in errors:
-            errors[k].append(m[k] / 1000.0)
+            errors[k].append(m[k])
         preds = m["predictions"]  # [N, 17, 3] (mm), masked+ordered
         data_inference[seq_name] = preds.transpose(2, 1, 0)  # MATLAB layout
         gts = _masked_gt(seq_ds)

@@ -346,10 +346,16 @@ class Runner:
         return (np.sum(errs) / n, np.mean(losses)) if n else (np.nan, np.nan)
 
     # ------------------------------------------------------------------
-    def evaluate(self, test_ds, action: Optional[str] = None, key=None) -> Dict:
+    def evaluate(self, test_ds, action: Optional[str] = None, key=None,
+                 unit_scale: float = 1000.0) -> Dict:
         """Final evaluation protocol (reference evaluate:535-654): flip-TTA
         DDIM sampling, unnormalise, mask, Protocol #1/#2/#3 + MPJVE, and
-        model-time throughput."""
+        model-time throughput.
+
+        unit_scale converts the dataset's native pose units into the mm the
+        report prints: 1000 for meter-based datasets (H3.6M et al.), 1.0 for
+        MPI-INF-3DHP whose poses are already mm (the reference likewise skips
+        the x1000 there, run_3dhp.py:561-568)."""
         cfg = self.cfg
         log = self.logger
         if key is None:
@@ -400,10 +406,10 @@ class Runner:
             ev_sum += float(mean_velocity_error(pred_f, gt_f)) * k
 
         e1, e2, e3, ev = (
-            e1_sum / n * 1000,
-            e2_sum / n * 1000,
-            e3_sum / n * 1000,
-            ev_sum / n * 1000,
+            e1_sum / n * unit_scale,
+            e2_sum / n * unit_scale,
+            e3_sum / n * unit_scale,
+            ev_sum / n * unit_scale,
         )
         speed = n / model_time if model_time > 0 else float("inf")
         header = "----------" if action is None else f"----{action}----"

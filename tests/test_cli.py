@@ -56,6 +56,12 @@ def test_run_3dhp(tmp_path):
     )
     assert 0.0 <= out["pck"] <= 100.0
     assert 0.0 <= out["auc"] <= 100.0
+    # Per-sequence errors are native mm (3DHP poses are mm already; a stray
+    # m->mm x1000 would land ~1e5-1e6 here). Predictions are clipped to the
+    # dataset's pos_3d range, so even an untrained model stays within a few
+    # thousand mm of the GT.
+    for k, vals in out["errors"].items():
+        assert vals and all(0.0 < v < 5e4 for v in vals), (k, vals)
     assert os.path.isfile(os.path.join(tmp_path, "inference_data.mat"))
     # MATLAB-layout export: [3, 17, N] per sequence
     import scipy.io as scio
