@@ -47,6 +47,11 @@ FAST = os.environ.get("BENCH_FAST", "1") == "1"
 TMODE = os.environ.get("BENCH_TMODE", "rows")
 # In-kernel per-block diffusion-time add (0 = XLA add between kernels).
 FUSET = os.environ.get("BENCH_FUSET", "1") == "1"
+# Attention head count. 8 = the reference geometry (head_dim 64, half-width
+# MXU contracts — the default so the headline matches reference weights);
+# 4 = the TPU-optimised head_dim-128 geometry (full-width contracts, ~8-11%
+# faster forwards; weights NOT interchangeable with the reference's).
+HEADS = int(os.environ.get("BENCH_HEADS", "8"))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
@@ -61,7 +66,7 @@ def measure_tpu() -> dict:
 
     model = MixSTEDenoiser(
         num_frame=FRAMES, num_joints=JOINTS, in_chans=2, embed_dim=EMBED,
-        depth=DEPTH, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+        depth=DEPTH, num_heads=HEADS, mlp_ratio=2.0, qkv_bias=True,
         drop_path_rate=0.1, with_time_emb=True, mode="s2s",
         use_pallas=USE_PALLAS,
         dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None,
@@ -70,8 +75,8 @@ def measure_tpu() -> dict:
         from diff3dhpe_tpu.engine.steps import make_fast_denoise_fn
 
         denoise_fn = make_fast_denoise_fn(
-            num_frame=FRAMES, num_joints=JOINTS, depth=DEPTH, num_heads=8,
-            with_time_emb=True, mode="s2s",
+            num_frame=FRAMES, num_joints=JOINTS, depth=DEPTH,
+            num_heads=HEADS, with_time_emb=True, mode="s2s",
             dtype=jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32,
             temporal_mode=TMODE, fuse_time=FUSET,
         )

@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="synthetic motion model: 'walk' (unstructured, "
                              "pipeline coverage) or 'latent' (learnable "
                              "manifold motion for convergence studies)")
+    parser.add_argument("--num-heads", type=int, default=None, metavar="N",
+                        help="attention heads (default 8 = reference geometry;"
+                             " 4 gives head_dim 128, the full-MXU-width TPU"
+                             " geometry — weights are not interchangeable"
+                             " across head counts)")
     parser.add_argument("--fast-eval", action="store_true",
                         help="fused-kernel inference path for evaluation")
     parser.add_argument("--fast-train", action="store_true",
@@ -106,6 +111,7 @@ def args_to_overrides(args) -> dict:
         checkpoint=args.checkpoint, checkpoint_frequency=args.checkpoint_frequency,
         resume=args.resume or None, evaluate=args.evaluate or None,
         repeat_n=args.repeat_n, subset=args.subset, downsample=args.downsample,
+        num_heads=args.num_heads,
         mesh_shape=args.mesh_shape, matmul_precision=args.matmul_precision,
         compute_dtype=args.compute_dtype, data_root=args.data_root,
         loss_type=args.loss_type,

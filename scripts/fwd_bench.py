@@ -7,6 +7,8 @@ variant; host-transfer sync (block_until_ready is a no-op on the relay).
 
 VARIANT: flax_f32 | flax_bf16 | rows_f32 | rows_bf16 | cols_f32 | cols_bf16
 B defaults to 8 (bench's flip-doubled eval batch), FRAMES to 243.
+HEADS env knob (default 8) picks the attention head count — HEADS=4 is the
+TPU-friendly head_dim-128 geometry (full-width MXU contractions).
 """
 from __future__ import annotations
 
@@ -31,9 +33,10 @@ def main():
     from diff3dhpe_tpu.models import MixSTEDenoiser
 
     J, C, D = 17, 512, 8
+    heads = int(os.environ.get("HEADS", "8"))
     model = MixSTEDenoiser(
         num_frame=frames, num_joints=J, in_chans=2, embed_dim=C, depth=D,
-        num_heads=8, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
+        num_heads=heads, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
         with_time_emb=True, mode="s2s",
         dtype=dtype if path == "flax" and dt == "bf16" else None,
     )
@@ -51,8 +54,9 @@ def main():
 
         def fwd(p, x, t):
             return fast_forward_denoise(
-                p, x, t, num_frame=frames, num_joints=J, depth=D, num_heads=8,
-                dtype=dtype, temporal_mode=path, fuse_time=fuse_time,
+                p, x, t, num_frame=frames, num_joints=J, depth=D,
+                num_heads=heads, dtype=dtype, temporal_mode=path,
+                fuse_time=fuse_time,
             )
 
     fwd = jax.jit(fwd)
@@ -72,7 +76,10 @@ def main():
     outs = [fwd(params, x, t) for _ in range(iters)]
     assert math.isfinite(float(sum_all(outs)))
     ms = (time.time() - t0) / iters * 1000
-    print(f"{variant} B={b} F={frames}: {ms:.1f} ms/fwd  (compile {compile_s:.0f}s)")
+    print(
+        f"{variant} B={b} F={frames} H={heads}: {ms:.1f} ms/fwd  "
+        f"(compile {compile_s:.0f}s)"
+    )
 
 
 if __name__ == "__main__":

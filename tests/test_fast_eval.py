@@ -71,3 +71,29 @@ def test_fast_eval_qkv_bias_false(rng):
         )
     )
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("heads", [4, 2])
+def test_fast_eval_alternative_head_geometry(rng, heads):
+    """The fused kernels are head-count-parametric: num_heads=4 at the
+    flagship embed width is the head_dim-128 TPU geometry (full-width MXU
+    contractions), the lever PERF.md's irreducibility proof points at.
+    Verified here at small embed (head_dim 16/32) against the flax module."""
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=depth,
+        num_heads=heads, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
+        with_time_emb=True, mode="s2s",
+    )
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    expected = np.asarray(model.apply({"params": params}, x, t, deterministic=True))
+    out = np.asarray(
+        fast_forward_denoise(
+            params, x, t, num_frame=F, num_joints=J, depth=depth,
+            num_heads=heads, with_time_emb=True, mode="s2s",
+            dtype=jnp.float32, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
