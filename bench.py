@@ -52,6 +52,10 @@ FUSET = os.environ.get("BENCH_FUSET", "1") == "1"
 # 4 = the TPU-optimised head_dim-128 geometry (full-width contracts, ~8-11%
 # faster forwards; weights NOT interchangeable with the reference's).
 HEADS = int(os.environ.get("BENCH_HEADS", "8"))
+# Serve the AOT-exported StableHLO artifact (io/export.py) instead of the
+# live jit: serialize + restore the eval step and time the restored callable.
+# Measures the end-to-end serving path's overhead vs in-process jit.
+EXPORTED = os.environ.get("BENCH_EXPORTED", "0") == "1"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
@@ -93,6 +97,17 @@ def measure_tpu() -> dict:
     )
     x2d = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, JOINTS, 2))
     x2d_flip = jax.random.normal(jax.random.PRNGKey(2), (BATCH, FRAMES, JOINTS, 2))
+
+    if EXPORTED:
+        # Round-trip through the serialized serving artifact; the timed loop
+        # then drives exactly what a serving host would run.
+        spec = lambda a: jax.tree.map(
+            lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), a
+        )
+        art = jax.export.export(eval_step)(
+            spec(params), spec(key), spec(x2d), spec(x2d_flip)
+        )
+        eval_step = jax.export.deserialize(bytearray(art.serialize())).call
 
     # NOTE: on the remote-relay backend block_until_ready does not actually
     # wait for device execution; a scalar reduce + host transfer is the only
@@ -264,6 +279,7 @@ def main():
             model_tflops_per_seq=round(flops_per_seq / 1e12, 4),
             achieved_tflops_per_chip=round(achieved_tflops, 2),
             mfu=round(mfu, 4),
+            exported_artifact=EXPORTED,
         ),
     )))
 

@@ -53,6 +53,10 @@ def main(argv=None):
     parser.add_argument("--export-platforms", type=str, default=None, metavar="LIST",
                         help="comma-separated lowering platforms, e.g. 'tpu' or "
                              "'cpu,tpu' (default: current backend)")
+    parser.add_argument("--export-sharded", action="store_true",
+                        help="bake the runner's mesh (shard_map data-parallel "
+                             "program) into the artifact; requires the same "
+                             "device count on the serving host")
     parser.add_argument("--export-num-joints", type=int, default=None)
     parser.add_argument("--export-joints-left", type=str, default=None,
                         help="comma-separated joint indices")
@@ -109,8 +113,8 @@ def main(argv=None):
         [p.strip() for p in args.export_platforms.split(",") if p.strip()]
         if args.export_platforms else None
     )
-    data = export_eval_step(runner, batch_size=batch,
-                            platforms=platforms, path=args.output)
+    data = export_eval_step(runner, batch_size=batch, platforms=platforms,
+                            path=args.output, sharded=args.export_sharded)
     print(
         f"Exported eval step -> {args.output} ({len(data)} bytes): "
         f"eval(params, key, x2d, x2d_flip) with x2d "

@@ -36,6 +36,7 @@ def export_eval_step(
     *,
     platforms: Optional[Sequence[str]] = None,
     path: Optional[str] = None,
+    sharded: bool = False,
 ) -> bytes:
     """Serialize ``runner``'s evaluation step at a fixed batch shape.
 
@@ -49,18 +50,34 @@ def export_eval_step(
     as stablehlo custom calls); cross-platform artifacts need the plain
     flax path (cfg.fast_eval=False).
 
+    ``sharded=True`` exports the runner's mesh-bound step instead (the
+    shard_map data-parallel program): the artifact then requires the same
+    device count at load time (``jax.export``'s ``nr_devices``) and
+    ``batch_size`` must divide the mesh's data axis — multi-chip serving
+    with the sharding baked in. Default exports a single-device program.
+
     Returns the serialized bytes; also writes them to ``path`` if given.
     """
     from diff3dhpe_tpu.engine.steps import make_eval_step
 
     cfg = runner.cfg
-    # A fresh single-device step: the runner's own eval_step may be a
-    # shard_map program bound to this host's mesh, which would pin the
-    # artifact to an identical mesh at load time.
-    step = make_eval_step(
-        runner.eval_diffusion, runner.joints_left, runner.joints_right,
-        mesh=None, repeat_n=cfg.repeat_n, tta=cfg.test_time_augmentation,
-    )
+    if sharded:
+        mesh = runner.mesh
+        data_size = mesh.shape.get("data", 1) if mesh is not None else 1
+        if batch_size % max(data_size, 1):
+            raise ValueError(
+                f"batch_size {batch_size} must divide the mesh data axis "
+                f"({data_size}) for a sharded export"
+            )
+        step = runner.eval_step
+    else:
+        # A fresh single-device step: the runner's own eval_step may be a
+        # shard_map program bound to this host's mesh, which would pin the
+        # artifact to an identical mesh at load time.
+        step = make_eval_step(
+            runner.eval_diffusion, runner.joints_left, runner.joints_right,
+            mesh=None, repeat_n=cfg.repeat_n, tta=cfg.test_time_augmentation,
+        )
 
     params = runner.state.params if runner.state is not None else runner.init_params()
     params_spec = jax.tree.map(

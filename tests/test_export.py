@@ -66,6 +66,29 @@ def test_export_artifact_is_weight_agnostic(tiny_runner, tmp_path):
     assert not np.array_equal(out1, out2)
 
 
+def test_export_sharded_multichip_artifact():
+    """sharded=True bakes the 8-device shard_map data-parallel program into
+    the artifact; the restored call reproduces the live mesh-bound step."""
+    cfg = Config(
+        stride=9, number_of_frames=9, embed_dim=32, transformer_depth=1,
+        timesteps=20, sampling_timesteps=3, mesh_shape="data:8", fast_eval=True,
+    )
+    runner = Runner(cfg, 17, H36M_JL, H36M_JR)
+    runner.set_params(runner.init_params())
+
+    with pytest.raises(ValueError):
+        export_eval_step(runner, batch_size=3, sharded=True)
+
+    data = export_eval_step(runner, batch_size=8, sharded=True)
+    step = restore_eval_step(data)
+    key = jax.random.PRNGKey(5)
+    x = np.random.default_rng(1).standard_normal((8, 9, 17, 2)).astype(np.float32)
+    live = np.asarray(runner.eval_step(runner.state.params, key, x, x))
+    served = np.asarray(step(runner.state.params, key, x, x))
+    assert served.shape == (8, 9, 17, 3)
+    np.testing.assert_allclose(served, live, rtol=3e-6, atol=3e-6)
+
+
 def test_export_fused_tpu_artifact_from_cpu_host():
     """The production config (fused Pallas fast-eval) cross-lowers to a
     TPU-platform artifact from a CPU host: Mosaic kernels serialize as
