@@ -284,5 +284,32 @@ def main():
     )))
 
 
+def supervised_main() -> int:
+    """Run the measurement in a supervised child process.
+
+    The remote-TPU relay can wedge mid-request (PERF.md round-3 post-mortem:
+    a device call never returns until the blocked client dies). The driver
+    runs `python bench.py` exactly once per round, so a single wedge would
+    lose the round's BENCH artifact. Supervision re-execs this script with
+    BENCH_NO_SUPERVISE=1 in a killable process group, bounds it to
+    BENCH_TIMEOUT seconds (default 900 — compile is 2-5 min, measurement
+    seconds), and retries once on a stall. BENCH_NO_SUPERVISE=1 opts out.
+    """
+    from diff3dhpe_tpu.utils.supervise import run_supervised
+
+    timeout_s = float(os.environ.get("BENCH_TIMEOUT", "900"))
+    retries = int(os.environ.get("BENCH_RETRIES", "1"))
+    env = dict(os.environ, BENCH_NO_SUPERVISE="1")
+    rc, out = run_supervised(
+        [sys.executable, os.path.abspath(__file__)], timeout_s, retries, env=env
+    )
+    sys.stdout.buffer.write(out)
+    sys.stdout.flush()
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_NO_SUPERVISE", "0") == "1":
+        main()
+    else:
+        sys.exit(supervised_main())
