@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fused-kernel inference path for evaluation")
     parser.add_argument("--fast-train", action="store_true",
                         help="fused-kernel training forward (custom VJP)")
+    parser.add_argument("--eval-f32-final-steps", type=int, default=None,
+                        metavar="N",
+                        help="mixed-precision fast eval: run the last N DDIM"
+                             " steps through the f32 fused forward (with"
+                             " --fast-eval --compute-dtype bfloat16)")
+    parser.add_argument("--eval-f32-head", action="store_true",
+                        help="keep the bf16 fast-eval head epilogue in f32")
     return parser
 
 
@@ -123,5 +130,7 @@ def args_to_overrides(args) -> dict:
         export_training_curves=args.export_training_curves or None,
         fast_eval=args.fast_eval or None,
         fast_train=args.fast_train or None,
+        eval_f32_final_steps=args.eval_f32_final_steps,
+        eval_f32_head=args.eval_f32_head or None,
     )
     return mapping

@@ -83,6 +83,15 @@ class Config:
     # Fused-kernel inference path (models/fast_eval.py) for the final
     # evaluation; 1.27x over the flax forward on v5e at bf16.
     fast_eval: bool = False
+    # Mixed-precision fast eval (meaningful with fast_eval +
+    # compute_dtype=bfloat16): run the LAST N DDIM steps through an f32
+    # fused forward (the denoiser is contractive near t->0, so one f32
+    # finishing step recovers most of the f32 trajectory at ~bf16 speed),
+    # and keep the head epilogue (final LN + [C,3] projection) in f32 so
+    # the bf16 trunk's x0-estimate is not output-rounded each step.
+    # Accuracy-gated in scripts/accuracy_study.py.
+    eval_f32_final_steps: int = 0
+    eval_f32_head: bool = False
     # Fused-kernel TRAINING forward (custom VJP: Pallas forward +
     # XLA-recompute backward, models/fast_eval.py). Gradients match the
     # flax path up to rounding; data-parallel meshes only.

@@ -57,6 +57,16 @@ class GaussianDiffusion:
     ddim_sampling_eta: float = 0.0
     clip_loss: bool = False
     mode: str = "s2s"  # "s2s" | "s2f"
+    # Mixed-precision sampling: when set, the LAST ``final_denoise_steps``
+    # DDIM steps call ``final_denoise_fn`` instead of ``denoise_fn`` (they
+    # run unrolled after the scan — dtype is trace-time, so a per-step dtype
+    # switch cannot live inside one scan body). Motivation: bf16 eval fails
+    # the accuracy gate (+0.36 mm at the 10.3 mm operating point,
+    # scripts/accuracy_study.json round 3) but the denoiser is contractive
+    # near t->0, so finishing with one f32 step recovers most of the f32
+    # trajectory at ~bf16 speed. None = single-precision (the default).
+    final_denoise_fn: Optional[Callable[..., jnp.ndarray]] = None
+    final_denoise_steps: int = 1
 
     @classmethod
     def create(
@@ -193,7 +203,7 @@ class GaussianDiffusion:
             coef=jnp.asarray(coef, jnp.float32),
         )
 
-    def _model_x_start(self, params, x, t_scalar, x_cond):
+    def _model_x_start(self, params, x, t_scalar, x_cond, denoise_fn=None):
         """One denoiser call + optional clamp (reference ddim_sample:251-258)."""
         b = x.shape[0]
         if self.mode == "s2f":
@@ -202,7 +212,7 @@ class GaussianDiffusion:
             x_in = x
         model_in = jnp.concatenate([x_cond, x_in], axis=-1)
         t = jnp.full((b,), t_scalar, dtype=jnp.float32)
-        x_start = self.denoise_fn(params, model_in, t, None)
+        x_start = (denoise_fn or self.denoise_fn)(params, model_in, t, None)
         if self.clip_denoised:
             x_start = jnp.clip(x_start, -1.0, 1.0)
         return x_start
@@ -237,29 +247,56 @@ class GaussianDiffusion:
             )(row_index)
         stochastic = self.ddim_sampling_eta != 0.0
 
-        def body(x, step):
-            tb, step_i = step
-            x_start = self._model_x_start(params, x, tb["t"], x_cond)
-            upd = x_start * tb["sqrt_alpha_next"] + tb["coef"] * (
-                (x - tb["alpha"] * x_start) / tb["sqrt_om"]
-            )
-            if stochastic:
-                noise = jax.vmap(
-                    lambda i: jax.random.normal(
-                        jax.random.fold_in(
-                            jax.random.fold_in(key_steps, step_i), i
-                        ),
-                        row_shape, x.dtype,
-                    )
-                )(row_index)
-                upd = upd + tb["sigma"] * noise
-            x_new = jnp.where(tb["is_last"], x_start, upd)
-            return x_new, (x_new, x_start) if collect_chain else None
+        def make_body(denoise_fn):
+            def body(x, step):
+                tb, step_i = step
+                x_start = self._model_x_start(
+                    params, x, tb["t"], x_cond, denoise_fn=denoise_fn
+                )
+                upd = x_start * tb["sqrt_alpha_next"] + tb["coef"] * (
+                    (x - tb["alpha"] * x_start) / tb["sqrt_om"]
+                )
+                if stochastic:
+                    noise = jax.vmap(
+                        lambda i: jax.random.normal(
+                            jax.random.fold_in(
+                                jax.random.fold_in(key_steps, step_i), i
+                            ),
+                            row_shape, x.dtype,
+                        )
+                    )(row_index)
+                    upd = upd + tb["sigma"] * noise
+                x_new = jnp.where(tb["is_last"], x_start, upd)
+                return x_new, (x_new, x_start) if collect_chain else None
 
-        xs = ({k: v for k, v in tables.items()}, jnp.arange(s))
-        x_final, chain = jax.lax.scan(body, x_init, xs)
+            return body
+
+        body = make_body(self.denoise_fn)
+        # The last n_final steps run UNROLLED with final_denoise_fn (a
+        # trace-time dtype switch cannot live inside one scan body); the
+        # update math is identical, so final_denoise_fn = denoise_fn would
+        # reproduce the single-scan result exactly.
+        n_final = min(int(self.final_denoise_steps), s) if self.final_denoise_fn else 0
+        s_scan = s - n_final
+
+        if s_scan > 0:
+            xs = ({k: v[:s_scan] for k, v in tables.items()}, jnp.arange(s_scan))
+            x_final, chain = jax.lax.scan(body, x_init, xs)
+        else:
+            x_final, chain = x_init, None
+        extras = []
+        if n_final:
+            final_body = make_body(self.final_denoise_fn)
+            for i in range(s_scan, s):
+                step = ({k: v[i] for k, v in tables.items()}, jnp.asarray(i))
+                x_final, extra = final_body(x_final, step)
+                extras.append(extra)
         if collect_chain:
             # [S, ...] -> [..., S] to match the reference's stacked layout.
+            parts = ([] if chain is None else [chain]) + [
+                jax.tree.map(lambda a: a[None], e) for e in extras
+            ]
+            chain = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *parts)
             states = jnp.moveaxis(chain[0], 0, -1)
             x0_ests = jnp.moveaxis(chain[1], 0, -1)
             return x_final, states, x0_ests

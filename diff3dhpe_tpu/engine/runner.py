@@ -121,19 +121,36 @@ class Runner:
             mode="s2s" if cfg.out_all else "s2f",
         )
         if cfg.fast_eval:
+            import dataclasses as _dc
+
             from diff3dhpe_tpu.engine.steps import make_fast_denoise_fn
 
             fast_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            is_bf16 = fast_dtype == jnp.bfloat16
+            fast_kwargs = dict(
+                num_frame=cfg.number_of_frames, num_joints=num_joints,
+                depth=cfg.transformer_depth, num_heads=cfg.num_heads,
+                with_time_emb=cfg.with_time_emb,
+                mode="s2s" if cfg.out_all else "s2f",
+            )
             self.eval_diffusion = dataclasses_replace_denoise(
                 self.diffusion,
                 make_fast_denoise_fn(
-                    num_frame=cfg.number_of_frames, num_joints=num_joints,
-                    depth=cfg.transformer_depth, num_heads=cfg.num_heads,
-                    with_time_emb=cfg.with_time_emb,
-                    mode="s2s" if cfg.out_all else "s2f",
-                    dtype=fast_dtype,
+                    dtype=fast_dtype, f32_head=is_bf16 and cfg.eval_f32_head,
+                    **fast_kwargs,
                 ),
             )
+            if is_bf16 and cfg.eval_f32_final_steps > 0:
+                # Mixed precision: the last N DDIM steps run an f32 fused
+                # forward (GaussianDiffusion.ddim_sample_loop unrolls them
+                # after the bf16 scan).
+                self.eval_diffusion = _dc.replace(
+                    self.eval_diffusion,
+                    final_denoise_fn=make_fast_denoise_fn(
+                        dtype=jnp.float32, **fast_kwargs
+                    ),
+                    final_denoise_steps=cfg.eval_f32_final_steps,
+                )
         else:
             self.eval_diffusion = self.diffusion
         if cfg.fast_train:

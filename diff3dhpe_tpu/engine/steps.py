@@ -73,9 +73,12 @@ def make_fast_denoise_fn(
     dtype=None,
     temporal_mode: str = "rows",
     fuse_time: bool = True,
+    f32_head: bool = False,
 ) -> Callable:
     """Inference-optimised denoise_fn: the fused-kernel functional forward
-    (models/fast_eval.py) over the same param tree. Eval-only (no VJP)."""
+    (models/fast_eval.py) over the same param tree. Eval-only (no VJP).
+    ``f32_head`` keeps the head epilogue (final LN + [C, 3] projection) in
+    f32 so a bf16 trunk's x0-estimate is not output-rounded to bf16."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import fast_forward_denoise
@@ -88,7 +91,7 @@ def make_fast_denoise_fn(
             params, x, t, num_frame=num_frame, num_joints=num_joints,
             depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
             mode=mode, dtype=dtype, temporal_mode=temporal_mode,
-            fuse_time=fuse_time,
+            fuse_time=fuse_time, f32_head=f32_head,
         )
 
     denoise_fn.uses_pallas = True
@@ -196,7 +199,11 @@ def make_train_step(
     if uses_pallas and mesh is not None and data_size > 1:
         if "model" in mesh.axis_names and mesh.shape["model"] > 1:
             raise NotImplementedError(
-                "fast_train shard_map path supports data-parallel meshes only"
+                "fast_train shard_map path supports data-parallel meshes only "
+                "(the fused Pallas paths replicate params per shard, which a "
+                "tensor-parallel mesh would shard). Workarounds: use a "
+                "data-only mesh (e.g. mesh_shape='data:8'), or drop "
+                "fast_train to train tensor-parallel through the flax path."
             )
         from jax import shard_map
         from jax.sharding import PartitionSpec as P

@@ -57,6 +57,7 @@ def fast_forward_denoise(
     temporal_mode: str = "rows",
     dp_scales=None,
     fuse_time: bool = True,
+    f32_head: bool = False,
 ):
     """forward_denoise(x [B, F, J, Cin+3], time [B]) -> [B, F_out, J, 3].
 
@@ -132,6 +133,8 @@ def fast_forward_denoise(
             w = params["weighted_mean_kernel"].astype(x.dtype)
             wb = params["weighted_mean_bias"].astype(x.dtype)
             x = jnp.einsum("bfpc,f->bpc", x, w)[:, None] + wb
+        if f32_head:
+            x = x.astype(jnp.float32)
         x = _layernorm(params["head_norm"], x, 1e-5)
         return _dense(params["head"], x)
 
@@ -228,6 +231,12 @@ def fast_forward_denoise(
         wb = params["weighted_mean_bias"].astype(x.dtype)
         x = jnp.einsum("bfpc,f->bpc", x, w)[:, None] + wb
 
+    # f32_head: the trunk's x0-estimate leaves the head at full precision
+    # instead of being rounded to bf16 (a ~0.2% relative output rounding
+    # that the DDIM update would otherwise inherit every step). The head
+    # GEMM is [rows, C] @ [C, 3] — negligible next to the trunk.
+    if f32_head:
+        x = x.astype(jnp.float32)
     x = _layernorm(params["head_norm"], x, 1e-5)
     x = _dense(params["head"], x)
     return x

@@ -41,30 +41,37 @@ def run_supervised(
     mirroring coreutils ``timeout``).
     """
     last_rc, last_out = 124, b""
-    for attempt in range(retries + 1):
-        proc = subprocess.Popen(
-            list(argv),
-            env=dict(env) if env is not None else None,
-            stdout=subprocess.PIPE,
-            start_new_session=True,  # own process group => killable as a unit
-        )
 
-        # If the SUPERVISOR is killed (e.g. the caller's own timeout), the
-        # detached child group must not outlive it — an orphaned wedged
-        # client would keep the whole TPU relay blocked. Forward fatal
-        # signals to the child group, then die with the original signal.
-        def _forward(signum, frame, _proc=proc):
+    # If the SUPERVISOR is killed (e.g. the caller's own timeout), the
+    # detached child group must not outlive it — an orphaned wedged client
+    # would keep the whole TPU relay blocked. Forward fatal signals to the
+    # current child group, then die with the original signal. Installed
+    # BEFORE the first spawn (via a mutable reference) so a signal landing
+    # between Popen() and handler setup cannot orphan the group.
+    current: list = [None]
+
+    def _forward(signum, frame):
+        proc = current[0]
+        if proc is not None:
             try:
-                os.killpg(_proc.pid, signal.SIGKILL)
+                os.killpg(proc.pid, signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 pass
-            signal.signal(signum, signal.SIG_DFL)
-            os.kill(os.getpid(), signum)
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
 
-        prev = {
-            s: signal.signal(s, _forward) for s in (signal.SIGTERM, signal.SIGINT)
-        }
-        try:
+    prev = {
+        s: signal.signal(s, _forward) for s in (signal.SIGTERM, signal.SIGINT)
+    }
+    try:
+        for attempt in range(retries + 1):
+            proc = subprocess.Popen(
+                list(argv),
+                env=dict(env) if env is not None else None,
+                stdout=subprocess.PIPE,
+                start_new_session=True,  # own process group => killable unit
+            )
+            current[0] = proc
             try:
                 out, _ = proc.communicate(timeout=timeout_s)
             except subprocess.TimeoutExpired:
@@ -72,10 +79,11 @@ def run_supervised(
                     os.killpg(proc.pid, signal.SIGKILL)
                 except (ProcessLookupError, PermissionError):
                     pass
-                proc.wait()
-                # Drain whatever the child wrote before the stall.
-                last_rc = 124
-                last_out = proc.stdout.read() if proc.stdout else b""
+                # Re-communicate after the kill: returns the FULL buffered
+                # output (communicate()'s internal buffer persists across
+                # calls), not just what a raw stdout.read() would see.
+                out, _ = proc.communicate()
+                last_rc, last_out = 124, out or b""
                 print(
                     f"supervise: attempt {attempt + 1}/{retries + 1} produced "
                     f"no exit within {timeout_s:.0f}s (TPU relay wedge?); "
@@ -85,17 +93,17 @@ def run_supervised(
                     flush=True,
                 )
                 continue
-        finally:
-            for s, handler in prev.items():
-                signal.signal(s, handler)
-        if proc.returncode == 0:
-            return 0, out
-        last_rc, last_out = proc.returncode, out
-        print(
-            f"supervise: attempt {attempt + 1}/{retries + 1} exited "
-            f"rc={proc.returncode}"
-            + ("; retrying" if attempt < retries else "; giving up"),
-            file=sys.stderr,
-            flush=True,
-        )
+            if proc.returncode == 0:
+                return 0, out
+            last_rc, last_out = proc.returncode, out
+            print(
+                f"supervise: attempt {attempt + 1}/{retries + 1} exited "
+                f"rc={proc.returncode}"
+                + ("; retrying" if attempt < retries else "; giving up"),
+                file=sys.stderr,
+                flush=True,
+            )
+    finally:
+        for s, handler in prev.items():
+            signal.signal(s, handler)
     return last_rc, last_out

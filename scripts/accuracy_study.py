@@ -46,6 +46,16 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "accuracy_study.j
 # near-chance 954 mm baseline).
 ABS_BUDGET_MM, REL_BUDGET = 0.1, 0.005
 
+# Variants at a DIFFERENT operating point than the parity path (e.g.
+# multi-hypothesis averaging, which is SUPPOSED to move MPJPE) are reported
+# in the results/deltas tables but excluded from the parity gate — a
+# two-sided |delta| budget would nonsensically "fail" an improvement.
+NON_GATED_PREFIXES = ("rep",)
+
+
+def is_gated(name: str) -> bool:
+    return not any(p in name for p in NON_GATED_PREFIXES)
+
 
 def compute_gate(results, base_mpjpe):
     """Pass/fail per eval path vs the flax_f32 parity baseline.
@@ -55,7 +65,7 @@ def compute_gate(results, base_mpjpe):
     """
     gate = {}
     for k, r in results.items():
-        if k == "flax_f32":
+        if k == "flax_f32" or not is_gated(k):
             continue
         delta = r["e1"] - base_mpjpe
         gate[k] = dict(
@@ -150,7 +160,14 @@ def main():
     runner.set_params(runner.init_params())
 
     best = os.path.join(cfg.checkpoint, "best_epoch")
-    if os.environ.get("STUDY_REUSE", "1") == "1" and os.path.isdir(best):
+    # A best_epoch checkpoint alone does NOT mean training finished — it is
+    # written every improving epoch, so a watchdog restart after a relay
+    # wedge mid-training would otherwise silently measure all variants on
+    # half-trained weights. Only the train_done marker certifies the run;
+    # without it an existing best_epoch is a RESUME point.
+    done_path = os.path.join(cfg.checkpoint, "train_done.json")
+    if (os.environ.get("STUDY_REUSE", "1") == "1" and os.path.isdir(best)
+            and os.path.isfile(done_path)):
         from diff3dhpe_tpu.io.checkpoint import restore_checkpoint
 
         runner.state, meta = restore_checkpoint(best, runner.state)
@@ -159,7 +176,14 @@ def main():
               f"best val MPJPE {fit['min_loss']:.3f} mm)")
     else:
         t0 = time.time()
-        fit = runner.fit(train_ds, val_ds)
+        resume = best if os.path.isdir(best) else None
+        if resume:
+            print(f"resuming interrupted training from {best}")
+        fit = runner.fit(train_ds, val_ds, resume=resume)
+        with open(done_path, "w") as f:
+            json.dump(dict(best_epoch=fit["best_epoch"],
+                           min_loss=fit["min_loss"],
+                           epochs_run=len(fit["losses_train"])), f)
         print(f"trained {len(fit['losses_train'])} epochs in {time.time() - t0:.0f}s, "
               f"best val MPJPE {fit['min_loss']:.3f} mm")
 
@@ -184,6 +208,24 @@ def main():
         ("fast_f32_mxhighest", dict(fast_eval=True, compute_dtype="float32"),
          "highest"),
         ("fast_bf16", dict(fast_eval=True, compute_dtype="bfloat16"), None),
+        # Round-4 mixed-precision candidates (VERDICT r3 Next #1): localise
+        # and close the bf16 eval error — f32 head epilogue alone, then
+        # + the last 1 or 2 DDIM steps through the f32 fused forward.
+        ("fast_bf16_f32head",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True),
+         None),
+        ("fast_mixed1",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=1), "default"),
+        ("fast_mixed2",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=2), "default"),
+        # Multi-hypothesis operating point (VERDICT r3 Next #5): repeat_n=4
+        # on the gated default path — reported, not gated (it is expected
+        # to MOVE the metric).
+        ("fast_f32_rep4",
+         dict(fast_eval=True, compute_dtype="float32", repeat_n=4),
+         "default"),
     ]
     fixed = {
         "test": next(iter(test_ds.batches(BATCH))),

@@ -74,10 +74,16 @@ def main():
         with open(OUT) as f:
             table = json.load(f)
 
+    ddim = int(os.environ.get("BENCH_DDIM", "9"))
     for heads in heads_list:
         for (frames, dtype), batch in BATCHES.items():
             key = f"{frames}f_{dtype}_h{heads}"
-            if key in table:
+            # A cached row only counts if it was measured under the SAME
+            # protocol: the stored metric string encodes frames + DDIM step
+            # count, so re-running with a different BENCH_DDIM re-measures
+            # instead of silently mixing protocols in one table.
+            expect_metric = f"pose_seqs_per_sec_per_chip_{frames}f_ddim{ddim}_flipTTA"
+            if key in table and table[key].get("metric") == expect_metric:
                 print(f"{key}: cached ({table[key]['seqs_per_sec']} seq/s)",
                       flush=True)
                 continue

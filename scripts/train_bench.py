@@ -1,18 +1,34 @@
-"""Training-step microbench on the real TPU chip.
+"""Training-step microbench + roofline on the real TPU chip.
 
 Times one jitted train step (value_and_grad + AdamW update) for a chosen
-variant of the flagship 243f config.
+variant of the flagship 243f config and reports MFU (VERDICT r3 Next #4:
+the train path used to report seq/s only, with no roofline accounting).
 
-  python scripts/train_bench.py VARIANT [B] [FRAMES]
+  python scripts/train_bench.py VARIANT [B] [FRAMES]   # one point
+  python scripts/train_bench.py sweep                  # full table
 
 VARIANT: flax_f32 | flax_bf16 | fast_f32 | fast_bf16
   flax_*: the regular flax forward with remat (the round-1 training path).
   fast_*: fused Pallas forward + XLA-recompute backward via custom VJP
           (models/fast_eval.py fast_forward_denoise_train).
 B defaults to 8, FRAMES to 243 (round-1 baseline: 361 ms/step = 22.2 seq/s).
+
+FLOPs accounting (reference hot path run.py:312-347 has no counterpart —
+the reference never reports training FLOPs): one train step runs ONE
+denoiser forward (a single random t per batch row, diffusion/loss overhead
+negligible) plus its backward (~2x the forward matmul FLOPs). MFU counts
+the USEFUL 3x-forward FLOPs against the 197 TFLOP/s v5e bf16 peak (the f32
+paths also contract via bf16 MXU passes at default precision). Both paths
+recompute the forward for the backward (flax: remat; fast: custom-VJP
+XLA-recompute), so executed FLOPs are ~4x forward — reported separately as
+hw_util so the remat tax is visible instead of silently inflating MFU.
+
+The sweep accumulates into scripts/train_roofline.json (resumable — safe
+to re-run through scripts/tpu_watchdog.sh after a relay wedge).
 """
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -20,14 +36,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
+HERE = os.path.dirname(os.path.abspath(__file__))
+SWEEP_OUT = os.path.join(HERE, "train_roofline.json")
+PEAK_TFLOPS = 197.0  # v5e bf16 peak per chip (bench.py uses the same)
+
+SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "fast_f32", "fast_bf16")
+SWEEP_BATCHES = (8, 16, 32)
 
 
-def main():
-    variant = sys.argv[1] if len(sys.argv) > 1 else "fast_f32"
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    frames = int(sys.argv[3]) if len(sys.argv) > 3 else 243
+def measure(variant: str, b: int, frames: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
     path, dt = variant.rsplit("_", 1)
     dtype = jnp.bfloat16 if dt == "bf16" else None
 
@@ -35,6 +55,7 @@ def main():
     from diff3dhpe_tpu.engine import build_train_state, make_denoise_fn, make_train_step
     from diff3dhpe_tpu.engine.steps import make_fast_train_denoise_fn, make_optimizer
     from diff3dhpe_tpu.models import MixSTEDenoiser
+    from diff3dhpe_tpu.utils.profiling import denoiser_matmul_flops
 
     J, C, D = 17, 512, 8
     model = MixSTEDenoiser(
@@ -82,10 +103,70 @@ def main():
     ms = (time.time() - t0) / iters * 1000
     assert all(math.isfinite(float(l)) for l in losses)
     assert math.isfinite(lf)
-    print(
-        f"{variant} B={b} F={frames}: {ms:.0f} ms/step = {b / ms * 1000:.1f} seq/s"
-        f"  loss {l0:.4f}->{lf:.4f}  (compile {compile_s:.0f}s)"
+
+    fwd_flops = denoiser_matmul_flops(frames, J, C, D) * b
+    useful_tflops = 3.0 * fwd_flops / (ms / 1000) / 1e12  # fwd + bwd(2x)
+    executed_tflops = 4.0 * fwd_flops / (ms / 1000) / 1e12  # + remat fwd
+    row = dict(
+        variant=variant, batch=b, frames=frames,
+        ms_per_step=round(ms, 1),
+        seqs_per_sec=round(b / ms * 1000, 2),
+        mfu=round(useful_tflops / PEAK_TFLOPS, 4),
+        hw_util_with_remat=round(executed_tflops / PEAK_TFLOPS, 4),
+        compile_s=round(compile_s, 1),
     )
+    print(
+        f"{variant} B={b} F={frames}: {ms:.0f} ms/step = "
+        f"{row['seqs_per_sec']:.1f} seq/s  MFU {row['mfu']:.3f} "
+        f"(hw {row['hw_util_with_remat']:.3f})  loss {l0:.4f}->{lf:.4f}"
+        f"  (compile {compile_s:.0f}s)",
+        flush=True,
+    )
+    return row
+
+
+def sweep():
+    table = {}
+    if os.path.isfile(SWEEP_OUT):
+        with open(SWEEP_OUT) as f:
+            table = json.load(f)
+    import subprocess
+
+    for variant in SWEEP_VARIANTS:
+        for b in SWEEP_BATCHES:
+            key = f"{variant}_b{b}"
+            if key in table:
+                print(f"{key}: cached ({table[key]['seqs_per_sec']} seq/s, "
+                      f"MFU {table[key]['mfu']})", flush=True)
+                continue
+            # Each point in its own subprocess: a clean jit cache, and one
+            # wedged measurement only loses that point on watchdog restart.
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), variant, str(b),
+                 "243", "--json"],
+                capture_output=True, text=True,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(f"{key} failed rc={r.returncode}:\n{r.stderr}")
+            row = json.loads(r.stdout.strip().splitlines()[-1])
+            print(f"{key}: {row['seqs_per_sec']} seq/s  MFU {row['mfu']} "
+                  f"(hw {row['hw_util_with_remat']})", flush=True)
+            table[key] = row
+            with open(SWEEP_OUT, "w") as f:
+                json.dump(table, f, indent=2, sort_keys=True)
+    print(json.dumps(table, indent=2, sort_keys=True))
+
+
+def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "fast_f32"
+    if variant == "sweep":
+        sweep()
+        return
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    frames = int(sys.argv[3]) if len(sys.argv) > 3 else 243
+    row = measure(variant, b, frames)
+    if "--json" in sys.argv:
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

@@ -69,7 +69,10 @@ def test_sweep_writes_all_configs_and_resumes(tmp_path):
 def test_partial_table_resumes_only_missing(tmp_path):
     out = tmp_path / "table.json"
     out.write_text(json.dumps({
-        "243f_float32_h8": dict(seqs_per_sec=1.0, batch=2, heads=8),
+        "243f_float32_h8": dict(
+            seqs_per_sec=1.0, batch=2, heads=8,
+            metric="pose_seqs_per_sec_per_chip_243f_ddim9_flipTTA",
+        ),
     }))
     r = run_sweep(tmp_path, out)
     assert r.returncode == 0, r.stderr
@@ -78,3 +81,22 @@ def test_partial_table_resumes_only_missing(tmp_path):
     assert len(table) == 6
     # The pre-existing entry was kept, not re-measured.
     assert table["243f_float32_h8"]["seqs_per_sec"] == 1.0
+
+
+def test_cached_entry_from_other_protocol_is_remeasured(tmp_path):
+    """An entry measured under a different DDIM step count (ADVICE r3: the
+    resume cache used to key on shape only, silently mixing protocols) must
+    NOT be reused — its stored metric string no longer matches."""
+    out = tmp_path / "table.json"
+    out.write_text(json.dumps({
+        "243f_float32_h8": dict(
+            seqs_per_sec=1.0, batch=2, heads=8,
+            metric="pose_seqs_per_sec_per_chip_243f_ddim5_flipTTA",
+        ),
+    }))
+    r = run_sweep(tmp_path, out)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("cached") == 0
+    table = json.loads(out.read_text())
+    # Re-measured under the current protocol (the fake bench emits 24.3).
+    assert table["243f_float32_h8"]["seqs_per_sec"] == 24.3

@@ -165,3 +165,25 @@ def test_run_s2f_train_eval(tmp_path):
     assert errors["e1"] and np.isfinite(errors["e1"][0])
     files = os.listdir(tmp_path)
     assert any(f.startswith("results_") for f in files)
+
+
+def test_run_tpu_recommended_config(tmp_path):
+    """The TPU-recommended flagship config (num_heads 4, bf16 fast-train,
+    mixed-precision fast-eval) trains and evaluates end-to-end; shape knobs
+    shrunk for the CPU mesh, the path/precision knobs kept as shipped."""
+    from diff3dhpe_tpu.cli.run import main
+    from diff3dhpe_tpu.config import load_config
+
+    cfg = load_config("configs/h36m_gt_s2s_243f_tpu.json")
+    assert cfg.num_heads == 4 and cfg.compute_dtype == "bfloat16"
+    assert cfg.fast_train and cfg.fast_eval
+    assert cfg.eval_f32_final_steps == 1 and cfg.eval_f32_head
+    assert cfg.remat and cfg.matmul_precision == "default"
+
+    errors = main(
+        ["--config", "configs/h36m_gt_s2s_243f_tpu.json",
+         "-c", str(tmp_path), "-a", "Walking",
+         "-str", "S1", "-ste", "S9", "--num-heads", "4"] + ARGS_COMMON
+    )
+    assert errors["e1"] and np.isfinite(errors["e1"][0])
+    assert "best_epoch" in os.listdir(tmp_path)

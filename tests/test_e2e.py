@@ -192,3 +192,35 @@ def test_remat_train_step_matches_no_remat(stack, tiny_cfg):
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_runner_mixed_precision_eval(synth, tiny_cfg):
+    """Config-level mixed-precision fast eval (bf16 trunk + f32 final DDIM
+    step + f32 head) builds the split engine and runs under the 8-device
+    shard_map eval path."""
+    from diff3dhpe_tpu.engine.runner import Runner
+
+    dataset, train_ds, test_ds = synth
+    cfg = tiny_cfg.replace(
+        fast_eval=True, compute_dtype="bfloat16",
+        eval_f32_final_steps=1, eval_f32_head=True,
+    )
+    runner = Runner(cfg, test_ds.num_joints, test_ds.joints_left,
+                    test_ds.joints_right)
+    runner.set_params(runner.init_params())
+    assert runner.eval_diffusion.final_denoise_fn is not None
+    assert runner.eval_diffusion.final_denoise_steps == 1
+    b = next(iter(test_ds.batches(8)))
+    pred = runner.eval_step(
+        runner.state.params, jax.random.PRNGKey(0),
+        jnp.asarray(b.input_2d), jnp.asarray(b.input_2d_flip),
+    )
+    assert pred.shape == (8, 9, 17, 3)
+    assert np.isfinite(np.asarray(pred, np.float32)).all()
+
+    # f32-final-steps knob is inert on the f32 fast path (no split engine).
+    runner_f32 = Runner(
+        tiny_cfg.replace(fast_eval=True, eval_f32_final_steps=1),
+        test_ds.num_joints, test_ds.joints_left, test_ds.joints_right,
+    )
+    assert runner_f32.eval_diffusion.final_denoise_fn is None

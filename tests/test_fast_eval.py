@@ -97,3 +97,28 @@ def test_fast_eval_alternative_head_geometry(rng, heads):
         )
     )
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_fast_eval_f32_head(rng):
+    """f32_head on a bf16 trunk returns f32 output at least as close to the
+    flax f32 reference as the plain bf16 path (it removes the final output
+    rounding; the trunk error is unchanged)."""
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(num_frame=F, num_joints=J, in_chans=2, embed_dim=C,
+                           depth=depth, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+                           with_time_emb=True, mode="s2s")
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    f32 = np.asarray(model.apply({"params": params}, x, t, deterministic=True))
+    kwargs = dict(num_frame=F, num_joints=J, depth=depth, num_heads=8,
+                  dtype=jnp.bfloat16, interpret=True)
+    plain = fast_forward_denoise(params, x, t, **kwargs)
+    headed = fast_forward_denoise(params, x, t, f32_head=True, **kwargs)
+    assert plain.dtype == jnp.bfloat16
+    assert headed.dtype == jnp.float32
+    scale = np.abs(f32).max()
+    err_plain = np.abs(np.asarray(plain, np.float32) - f32).max() / scale
+    err_headed = np.abs(np.asarray(headed) - f32).max() / scale
+    assert err_headed < 5e-2
+    assert err_headed <= err_plain + 1e-6

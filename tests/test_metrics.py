@@ -149,6 +149,36 @@ def test_profiling_utilities():
         assert f > 0
 
 
+def test_analytic_denoiser_flops_vs_xla():
+    """denoiser_matmul_flops (the MFU basis in bench.py/train_bench.py)
+    cross-checked against XLA's compiled cost analysis on a tiny config:
+    the analytic count covers matmuls+attention only, so it must land
+    below XLA's total but within ~35% (GEMMs dominate even at this size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff3dhpe_tpu.models import MixSTEDenoiser
+    from diff3dhpe_tpu.utils.profiling import denoiser_matmul_flops, flops_of
+
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=depth,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True, with_time_emb=True,
+        mode="s2s",
+    )
+    x = jnp.zeros((1, F, J, 5))
+    t = jnp.zeros((1,))
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    xla = flops_of(
+        lambda p, x, t: model.apply({"params": p}, x, t, deterministic=True),
+        params, x, t,
+    )
+    analytic = denoiser_matmul_flops(F, J, C, depth)
+    if xla is not None and xla > 0:
+        assert analytic <= xla * 1.001
+        assert analytic >= 0.65 * xla
+
+
 def test_pck_auc_golden_fixture():
     """Hand-computed golden values pinning the MATLAB-evaluator semantics
     (threshold protocol referenced at run_3dhp.py:631-632): inclusive
@@ -216,3 +246,10 @@ def test_accuracy_gate_rule():
     # absolute budget would pass a purely relative rule — both must hold.
     gate_hi = compute_gate({"flax_f32": {"e1": 954.0}, "p": {"e1": 954.5}}, 954.0)
     assert gate_hi["p"]["passes_rel"] and not gate_hi["p"]["passes"]
+
+    # Multi-hypothesis variants run at a DIFFERENT operating point (they
+    # are supposed to move MPJPE) — excluded from the parity gate.
+    gate_rep = compute_gate(
+        {"flax_f32": {"e1": 30.0}, "fast_f32_rep4": {"e1": 29.0}}, 30.0
+    )
+    assert "fast_f32_rep4" not in gate_rep
