@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                              " --fast-eval --compute-dtype bfloat16)")
     parser.add_argument("--eval-f32-head", action="store_true",
                         help="keep the bf16 fast-eval head epilogue in f32")
+    parser.add_argument("--eval-final-prec", type=str, default=None,
+                        choices=["default", "high3", "highest"],
+                        help="f32 contraction mode of the final f32 DDIM"
+                             " steps (default: highest — the accuracy-study"
+                             " winner)")
     return parser
 
 
@@ -132,5 +137,6 @@ def args_to_overrides(args) -> dict:
         fast_train=args.fast_train or None,
         eval_f32_final_steps=args.eval_f32_final_steps,
         eval_f32_head=args.eval_f32_head or None,
+        eval_final_prec=args.eval_final_prec,
     )
     return mapping

@@ -143,11 +143,13 @@ class Runner:
             if is_bf16 and cfg.eval_f32_final_steps > 0:
                 # Mixed precision: the last N DDIM steps run an f32 fused
                 # forward (GaussianDiffusion.ddim_sample_loop unrolls them
-                # after the bf16 scan).
+                # after the bf16 scan) with the contraction mode pinned by
+                # eval_final_prec ("highest" = the accuracy-study winner).
                 self.eval_diffusion = _dc.replace(
                     self.eval_diffusion,
                     final_denoise_fn=make_fast_denoise_fn(
-                        dtype=jnp.float32, **fast_kwargs
+                        dtype=jnp.float32, f32_prec=cfg.eval_final_prec,
+                        **fast_kwargs,
                     ),
                     final_denoise_steps=cfg.eval_f32_final_steps,
                 )

@@ -74,11 +74,14 @@ def make_fast_denoise_fn(
     temporal_mode: str = "rows",
     fuse_time: bool = True,
     f32_head: bool = False,
+    f32_prec: str | None = None,
 ) -> Callable:
     """Inference-optimised denoise_fn: the fused-kernel functional forward
     (models/fast_eval.py) over the same param tree. Eval-only (no VJP).
     ``f32_head`` keeps the head epilogue (final LN + [C, 3] projection) in
-    f32 so a bf16 trunk's x0-estimate is not output-rounded to bf16."""
+    f32 so a bf16 trunk's x0-estimate is not output-rounded to bf16.
+    ``f32_prec`` pins this callable's f32 contraction mode ("default" /
+    "highest"), independent of the DIFF_FUSED_F32_PREC env."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import fast_forward_denoise
@@ -91,7 +94,7 @@ def make_fast_denoise_fn(
             params, x, t, num_frame=num_frame, num_joints=num_joints,
             depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
             mode=mode, dtype=dtype, temporal_mode=temporal_mode,
-            fuse_time=fuse_time, f32_head=f32_head,
+            fuse_time=fuse_time, f32_head=f32_head, f32_prec=f32_prec,
         )
 
     denoise_fn.uses_pallas = True

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from diff3dhpe_tpu.models.mixste import sinusoidal_pos_emb
 from diff3dhpe_tpu.ops.fused_block import (
+    f32_precision_scope,
     fused_temporal_block_cols,
     fused_transformer_block,
 )
@@ -58,6 +59,7 @@ def fast_forward_denoise(
     dp_scales=None,
     fuse_time: bool = True,
     f32_head: bool = False,
+    f32_prec: Optional[str] = None,
 ):
     """forward_denoise(x [B, F, J, Cin+3], time [B]) -> [B, F_out, J, 3].
 
@@ -82,6 +84,17 @@ def fast_forward_denoise(
     over the reshaped (b*f, p, c) / (b*p, f, c) token batches). See
     fast_forward_denoise_train for the differentiable wrapper.
     """
+    if f32_prec is not None:
+        # Pin this call's f32 contraction mode (trace-time; see
+        # ops/fused_block.py::f32_precision_scope) and re-enter without it.
+        with f32_precision_scope(f32_prec):
+            return fast_forward_denoise(
+                params, x, time, num_frame=num_frame, num_joints=num_joints,
+                depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
+                mode=mode, dtype=dtype, interpret=interpret,
+                temporal_mode=temporal_mode, dp_scales=dp_scales,
+                fuse_time=fuse_time, f32_head=f32_head,
+            )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, f, p, _ = x.shape

@@ -14,6 +14,8 @@ training uses the regular XLA path.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 
@@ -48,17 +50,55 @@ def _gelu_exact(x):
 _F32_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,   # 1 bf16 MXU pass
     "highest": jax.lax.Precision.HIGHEST,   # exact f32 (multi-pass)
-}  # NOTE: Mosaic rejects Precision.HIGH ("Unsupported dot precision")
+}  # NOTE: Mosaic rejects Precision.HIGH ("Unsupported dot precision") —
+# the 3-pass middle ground is implemented manually instead ("high3",
+# _dot_f32_3pass): Precision.HIGH would be the natural spelling, but the
+# explicit hi/lo bf16 split is the only form Mosaic accepts.
+
+
+_f32_prec_override: contextvars.ContextVar = contextvars.ContextVar(
+    "diff_fused_f32_prec_override", default=None
+)
+
+
+@contextlib.contextmanager
+def f32_precision_scope(prec):
+    """Trace-time override of the f32 contraction mode for the fused kernels.
+
+    ``prec`` in {None, "default", "highest"}; None = no-op (fall back to the
+    DIFF_FUSED_F32_PREC env). Precision is baked into the traced program, so
+    wrapping a forward call at trace time pins that call's numerics
+    per-callable — e.g. a mixed eval can run its bf16 trunk steps normally
+    and its final f32 DDIM step at HIGHEST, independent of the process env
+    (scripts/accuracy_study.py ``fast_mixed1_hx``)."""
+    if prec is None:
+        yield
+        return
+    token = _f32_prec_override.set(prec)
+    try:
+        yield
+    finally:
+        _f32_prec_override.reset(token)
+
+
+def f32_contract_mode() -> str:
+    """f32 contraction mode name for the fused kernels, in
+    {"default", "highest", "high3"}.
+
+    Overridable via f32_precision_scope (per-call, wins) or the
+    DIFF_FUSED_F32_PREC env (process-wide), both read at trace time. The
+    accuracy study (scripts/accuracy_study.py) measures each mode's
+    deviation from the flax parity path on trained weights; see PERF.md
+    for the measured accuracy/throughput trade."""
+    return (_f32_prec_override.get()
+            or os.environ.get("DIFF_FUSED_F32_PREC", "default"))
 
 
 def f32_contract_precision():
-    """Contraction precision for f32 operands inside the fused kernels.
-
-    Overridable via DIFF_FUSED_F32_PREC in {default, highest}
-    (read at trace time). The accuracy study (scripts/accuracy_study.py)
-    measures each mode's deviation from the flax parity path on trained
-    weights; see PERF.md for the measured accuracy/throughput trade."""
-    return _F32_PRECISIONS[os.environ.get("DIFF_FUSED_F32_PREC", "default")]
+    """lax.Precision for the current f32 contraction mode ("high3" has no
+    lax spelling — callers that can hit it must branch on
+    f32_contract_mode() instead)."""
+    return _F32_PRECISIONS[f32_contract_mode()]
 
 
 def gemm_storage_dtype(x_dtype):
@@ -77,11 +117,31 @@ def gemm_storage_dtype(x_dtype):
     exact f32, so the cast would change semantics and break the
     interpret-mode parity tests)."""
     if (x_dtype == jnp.float32
-            and f32_contract_precision() == jax.lax.Precision.DEFAULT
+            and f32_contract_mode() == "default"
             and os.environ.get("DIFF_FUSED_F32_STORE", "f32") == "bf16"
             and jax.default_backend() == "tpu"):
         return jnp.bfloat16
     return x_dtype
+
+
+def _dot_f32_3pass(a, b, dims):
+    """bf16x3 contraction of f32 operands: split each into hi + lo bf16
+    halves and accumulate the three significant cross terms
+    (hi·hi + hi·lo + lo·hi) in f32 — ~16 effective mantissa bits at 3 MXU
+    passes, vs 8 bits at 1 pass (DEFAULT) and exact f32 at 6 (HIGHEST).
+    The dropped lo·lo term is O(2^-16) relative. This is lax
+    Precision.HIGH's algorithm spelled out by hand, because Mosaic rejects
+    the enum ("Unsupported dot precision")."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
 def _dot_f32(a, b, dims):
@@ -89,10 +149,15 @@ def _dot_f32(a, b, dims):
     pinned per operand dtype: bf16 operands contract in bf16 (DEFAULT —
     a global jax_default_matmul_precision=highest would otherwise force an
     fp32 contract, which Mosaic rejects: 'Bad lhs type'); f32 operands use
-    f32_contract_precision() so the global flag cannot silently change the
+    the f32_contract_mode() so the global flag cannot silently change the
     fused path's numerics in either direction."""
-    prec = (jax.lax.Precision.DEFAULT if a.dtype == jnp.bfloat16
-            else f32_contract_precision())
+    if a.dtype != jnp.bfloat16:
+        mode = f32_contract_mode()
+        if mode == "high3":
+            return _dot_f32_3pass(a, b, dims)
+        prec = _F32_PRECISIONS[mode]
+    else:
+        prec = jax.lax.Precision.DEFAULT
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -414,7 +479,7 @@ def fused_transformer_block(
     # across the AV dot) the default sizing tips ~0.2 MB over the 16 MB
     # scoped-vmem limit — shave the step budget for that mode.
     f32_hi = (x.dtype == jnp.float32
-              and f32_contract_precision() == jax.lax.Precision.HIGHEST)
+              and f32_contract_mode() in ("highest", "high3"))
     budget_bytes = (3_100_000 - (700_000 if has_dp else 0)
                     - (800_000 if mixed else 0) - (500_000 if f32_hi else 0))
     budget_rows = max(tile_rows, (budget_bytes // (3 * c * cdt_itemsize)) // 8 * 8 or tile_rows)

@@ -216,16 +216,35 @@ def main():
          None),
         ("fast_mixed1",
          dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
-              eval_f32_final_steps=1), "default"),
+              eval_f32_final_steps=1, eval_final_prec="default"), "default"),
         ("fast_mixed2",
          dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
-              eval_f32_final_steps=2), "default"),
+              eval_f32_final_steps=2, eval_final_prec="default"), "default"),
         # Multi-hypothesis operating point (VERDICT r3 Next #5): repeat_n=4
         # on the gated default path — reported, not gated (it is expected
         # to MOVE the metric).
         ("fast_f32_rep4",
          dict(fast_eval=True, compute_dtype="float32", repeat_n=4),
          "default"),
+        # Round-4 finding: fast_mixed1 (f32-DEFAULT final step) lands within
+        # 0.0004 mm of pure fast_f32_mxdefault — the residual error is set by
+        # the FINAL step's contraction mode, not by the 8 bf16 trunk steps.
+        # So run the final step(s) at HIGHEST contract: the floor should drop
+        # toward fast_f32_mxhighest (== flax exactly) at ~bf16 speed.
+        ("fast_mixed1_hx",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=1, eval_final_prec="highest"), "highest"),
+        ("fast_mixed2_hx",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=2, eval_final_prec="highest"), "highest"),
+        # mixed1_hx PASSES the gate (+0.0005 mm) but the 6-pass HIGHEST
+        # final step costs ~34 ms — 13.0 seq/s, BELOW the 16.1 f32 default.
+        # high3 (manual bf16x3, ops/fused_block.py::_dot_f32_3pass) is ~500x
+        # more accurate than the 1-pass default at half the 6-pass cost —
+        # the speed/accuracy sweet spot candidate for the promoted default.
+        ("fast_mixed1_h3",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=1, eval_final_prec="high3"), None),
     ]
     fixed = {
         "test": next(iter(test_ds.batches(BATCH))),

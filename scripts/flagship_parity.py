@@ -19,8 +19,9 @@ io/torch_convert.py — real released checkpoints are not in this image
 checkpoint-independent. Deviations are reported in mm at metre scale
 (1e-3 units = 1 mm), the same convention as the toy-shape e2e test.
 
-Each jax variant runs in its own subprocess (trace-time DIFF_FUSED_F32_PREC
-+ a clean jit cache); the torch leg is torch-only. Results accumulate in
+Each jax variant runs in its own subprocess (a clean jit cache per
+contraction mode; precision is pinned per-callable via
+make_fast_denoise_fn(f32_prec=...)); the torch leg is torch-only. Results accumulate in
 scripts/flagship_parity_out/*.npz and the combined table is written to
 scripts/flagship_parity.json. Safe to re-run after a relay wedge: finished
 legs are reused. Run via the watchdog:
@@ -157,9 +158,8 @@ def run_torch_leg():
     print(f"torch leg done: fwd {fwd.shape}, ddim {ddim.shape}")
 
 
-def run_jax_leg(name: str, fast: bool, f32_prec: str | None):
-    if f32_prec is not None:
-        os.environ["DIFF_FUSED_F32_PREC"] = f32_prec
+def run_jax_leg(name: str, fast: bool, f32_prec: str | None,
+                mixed: bool = False):
     import jax
     import jax.numpy as jnp
     import torch
@@ -178,14 +178,29 @@ def run_jax_leg(name: str, fast: bool, f32_prec: str | None):
         depth=DEPTH, num_heads=HEADS, mlp_ratio=2.0, qkv_bias=True,
         with_time_emb=True, mode="s2s",
     )
+    final_denoise_fn = None
     if fast:
         from diff3dhpe_tpu.engine.steps import make_fast_denoise_fn
 
-        denoise_fn = make_fast_denoise_fn(
+        fast_kwargs = dict(
             num_frame=FRAMES, num_joints=JOINTS, depth=DEPTH,
             num_heads=HEADS, with_time_emb=True, mode="s2s",
-            dtype=jnp.float32,
         )
+        if mixed:
+            # The mixed eval path: bf16 trunk + f32 head epilogue, last DDIM
+            # step through the f32 fused forward with contraction mode
+            # f32_prec ("highest" = 6-pass exact, "high3" = bf16x3 — the
+            # promoted default; scripts/accuracy_study.py fast_mixed1_*).
+            denoise_fn = make_fast_denoise_fn(
+                dtype=jnp.bfloat16, f32_head=True, **fast_kwargs
+            )
+            final_denoise_fn = make_fast_denoise_fn(
+                dtype=jnp.float32, f32_prec=f32_prec, **fast_kwargs
+            )
+        else:
+            denoise_fn = make_fast_denoise_fn(
+                dtype=jnp.float32, f32_prec=f32_prec, **fast_kwargs
+            )
     else:
         denoise_fn = make_denoise_fn(model)
     diffusion = GaussianDiffusion.create(
@@ -193,6 +208,13 @@ def run_jax_leg(name: str, fast: bool, f32_prec: str | None):
         clip_denoised=True, beta_schedule="cosine", ddim_sampling_eta=0.0,
         mode="s2s",
     )
+    if final_denoise_fn is not None:
+        import dataclasses as _dc
+
+        diffusion = _dc.replace(
+            diffusion, final_denoise_fn=final_denoise_fn,
+            final_denoise_steps=1,
+        )
 
     cond, x_t, fwd_in = fixed_inputs()
     fwd_fn = jax.jit(lambda p, x, t: denoise_fn(p, x, t, None))
@@ -214,11 +236,17 @@ def run_jax_leg(name: str, fast: bool, f32_prec: str | None):
 
 
 LEGS = [
-    # (name, kind, fast, DIFF_FUSED_F32_PREC)
-    ("torch", "torch", False, None),
-    ("flax_f32", "jax", False, None),
-    ("fast_f32_mxhighest", "jax", True, "highest"),
-    ("fast_f32_mxdefault", "jax", True, "default"),
+    # (name, kind, fast, f32_prec [make_fast_denoise_fn f32_prec — the
+    # final step's for mixed legs], mixed)
+    ("torch", "torch", False, None, False),
+    ("flax_f32", "jax", False, None, False),
+    ("fast_f32_mxhighest", "jax", True, "highest", False),
+    ("fast_f32_mxdefault", "jax", True, "default", False),
+    # bf16 trunk + f32 head + 1 f32 final DDIM step at HIGHEST / high3
+    # (bf16x3) contract — the round-4 mixed eval candidates
+    # (scripts/accuracy_study.py fast_mixed1_hx / fast_mixed1_h3).
+    ("fast_mixed1_hx", "jax", True, "highest", True),
+    ("fast_mixed1_h3", "jax", True, "high3", True),
 ]
 
 
@@ -230,11 +258,11 @@ def main():
         if spec[1] == "torch":
             run_torch_leg()
         else:
-            run_jax_leg(spec[0], spec[2], spec[3])
+            run_jax_leg(spec[0], spec[2], spec[3], mixed=spec[4])
         return
 
     import subprocess
-    for name, _, _, _ in LEGS:
+    for name, *_ in LEGS:
         if os.path.isfile(os.path.join(OUTDIR, f"{name}.npz")):
             print(f"{name}: reusing existing npz")
             continue
@@ -252,7 +280,7 @@ def main():
         units="mm at metre scale (1e-3 model units)",
         legs={},
     )
-    for name, kind, _, _ in LEGS:
+    for name, kind, *_ in LEGS:
         if kind == "torch":
             continue
         z = np.load(os.path.join(OUTDIR, f"{name}.npz"))

@@ -122,3 +122,35 @@ def test_fast_eval_f32_head(rng):
     err_headed = np.abs(np.asarray(headed) - f32).max() / scale
     assert err_headed < 5e-2
     assert err_headed <= err_plain + 1e-6
+
+
+def test_fast_eval_f32_prec_pins_contraction(rng):
+    """f32_prec pins the fused path's contraction mode per CALLABLE, not per
+    process: "high3" (manual bf16x3, ops/fused_block.py::_dot_f32_3pass)
+    must differ from exact f32 by only the dropped lo*lo bf16 term, and the
+    scope must restore the ambient mode afterwards. On CPU the DEFAULT f32
+    contract is already exact, so "default"/"highest" agree and "high3" is
+    the one genuinely multi-pass mode exercisable here."""
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(num_frame=F, num_joints=J, in_chans=2, embed_dim=C,
+                           depth=depth, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+                           with_time_emb=True, mode="s2s")
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    kwargs = dict(num_frame=F, num_joints=J, depth=depth, num_heads=8,
+                  dtype=jnp.float32, interpret=True)
+    exact = np.asarray(fast_forward_denoise(params, x, t, f32_prec="highest", **kwargs))
+    h3 = np.asarray(fast_forward_denoise(params, x, t, f32_prec="high3", **kwargs))
+    ambient = np.asarray(fast_forward_denoise(params, x, t, **kwargs))
+    scale = np.abs(exact).max()
+    err_h3 = np.abs(h3 - exact).max() / scale
+    # bf16x3 keeps ~16 mantissa bits: far from bitwise, far better than bf16.
+    assert 0 < err_h3 < 1e-3
+    # The scope must not leak: the ambient (env-default) call still matches
+    # the exact result on CPU, where DEFAULT == HIGHEST.
+    np.testing.assert_allclose(ambient, exact, rtol=1e-6, atol=1e-7)
+
+    from diff3dhpe_tpu.ops.fused_block import f32_contract_mode
+
+    assert f32_contract_mode() == "default"
