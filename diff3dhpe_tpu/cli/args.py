@@ -97,8 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval-final-prec", type=str, default=None,
                         choices=["default", "high3", "highest"],
                         help="f32 contraction mode of the final f32 DDIM"
-                             " steps (default: highest — the accuracy-study"
-                             " winner)")
+                             " steps (default: high3 — bf16x3, the"
+                             " accuracy-study winner)")
     return parser
 
 

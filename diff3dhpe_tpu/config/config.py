@@ -92,12 +92,13 @@ class Config:
     # Accuracy-gated in scripts/accuracy_study.py.
     eval_f32_final_steps: int = 0
     eval_f32_head: bool = False
-    # f32 contraction mode of those final steps: "highest" (6-pass exact
-    # f32 MXU contract — the accuracy-study winner fast_mixed1_hx, within
-    # 0.0005 mm of the flax f32 path) or "default" (single bf16 pass,
-    # +0.08 mm). Only the final f32 steps pay the multi-pass cost; the
-    # bf16 trunk steps are unaffected.
-    eval_final_prec: str = "highest"
+    # f32 contraction mode of those final steps: "high3" (manual bf16x3,
+    # 3 MXU passes — the accuracy-study winner fast_mixed1_h3, +0.0005 mm
+    # vs the flax f32 path at 16.7 seq/s), "highest" (6-pass exact f32,
+    # same accuracy, ~2x the final-step cost), or "default" (single bf16
+    # pass, +0.08 mm — fails the 0.5% rel gate). Only the final f32 steps
+    # pay the multi-pass cost; the bf16 trunk steps are unaffected.
+    eval_final_prec: str = "high3"
     # Fused-kernel TRAINING forward (custom VJP: Pallas forward +
     # XLA-recompute backward, models/fast_eval.py). Gradients match the
     # flax path up to rounding; data-parallel meshes only.

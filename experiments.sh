@@ -31,8 +31,10 @@ python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval -lr
 
 ### Recommended TPU TRAINING config (round-3 validated; PERF.md dtype section)
 # bf16 fast-train converges equivalently to f32 at 1.7-2.1x wall-clock
-# (scripts/dtype_equivalence.json). Keep eval f32 (bf16 eval gate-fails).
-python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval --compute-dtype bfloat16 -lr 4e-4 --lr-decay 0.99 -b 24 -e 200 --timesteps 1000 --sampling_timesteps 5 --keypoints gt --stride 243 --number-of-frames 243 -c checkpoint/h36m/gt/f243_bf16/ --config configs/h36m_gt_s2s_243f.json
+# (scripts/dtype_equivalence.json). Eval adds the round-4 accuracy-gated
+# mixed schedule: bf16 trunk + f32 head + final DDIM step at bf16x3
+# contract (+0.0005 mm vs flax f32, 16.7 seq/s/chip).
+python -m diff3dhpe_tpu.cli.run --mesh-shape data:8 --fast-train --fast-eval --compute-dtype bfloat16 --eval-f32-head --eval-f32-final-steps 1 -lr 4e-4 --lr-decay 0.99 -b 24 -e 200 --timesteps 1000 --sampling_timesteps 5 --keypoints gt --stride 243 --number-of-frames 243 -c checkpoint/h36m/gt/f243_bf16/ --config configs/h36m_gt_s2s_243f.json
 
 ### Long-running TPU studies (wedge-proof: run through the stall watchdog)
 # bash scripts/tpu_watchdog.sh LOGFILE STALL_SECS MAX_RESTARTS CMD...
