@@ -80,6 +80,12 @@ class Config:
     compute_dtype: str = "float32"  # "bfloat16" for the fast path
     use_pallas_attention: bool = False
     remat: bool = False  # rematerialise forward in backprop (long-seq training)
+    # Remat granularity: "block" = one jax.checkpoint region per
+    # transformer block (backward recomputes one block at a time — small
+    # working set, the TPU-recommended mode); "whole" = a single
+    # checkpoint region over the full forward (round-1 behavior: backward
+    # rebuilds every activation at once before backprop).
+    remat_mode: str = "block"
     # Fused-kernel inference path (models/fast_eval.py) for the final
     # evaluation; 1.27x over the flax forward on v5e at bf16.
     fast_eval: bool = False

@@ -108,9 +108,13 @@ class Runner:
             with_time_emb=cfg.with_time_emb,
             use_pallas=cfg.use_pallas_attention,
             dtype=dtype,
+            remat_blocks=cfg.remat and cfg.remat_mode == "block",
         )
         self.diffusion = GaussianDiffusion.create(
-            make_denoise_fn(self.model, remat=cfg.remat),
+            make_denoise_fn(
+                self.model,
+                remat=cfg.remat and cfg.remat_mode == "whole",
+            ),
             timesteps=cfg.timesteps,
             sampling_timesteps=cfg.sampling_timesteps,
             loss_type=cfg.loss_type,

@@ -259,12 +259,24 @@ class MixSTEDenoiser(nn.Module):
     out_dim: int = 3
     use_pallas: bool = False
     dtype: Optional[jnp.dtype] = None
+    # Per-BLOCK rematerialisation: each of the 2*depth transformer blocks
+    # is its own jax.checkpoint region, so backprop stores only the block
+    # boundary activations and recomputes one block at a time — same +1
+    # forward of FLOPs as whole-graph remat, but the backward's working
+    # set is one block instead of the whole net (whole-graph checkpoint
+    # re-builds ALL activations at once before backprop). Param tree is
+    # unchanged (nn.remat is transparent to module naming).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, time, deterministic: bool = True):
         assert x.ndim == 4, "expected [B, F, J, C]"
         b, f, p, _ = x.shape
         c = self.embed_dim
+        # static_argnums count self as 0: (x=1, is_spatial=2, time_emb=3,
+        # deterministic=4) — is_spatial and deterministic are Python bools.
+        block_cls = (nn.remat(Block, static_argnums=(2, 4))
+                     if self.remat_blocks else Block)
 
         x = TorchDense(c, dtype=self.dtype, name="fusion_layer")(x)
 
@@ -293,7 +305,7 @@ class MixSTEDenoiser(nn.Module):
                 x = x + spatial_pos[None].astype(x.dtype)
                 x = pos_drop(x, deterministic=deterministic)
 
-            x = Block(
+            x = block_cls(
                 dim=c,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -306,14 +318,14 @@ class MixSTEDenoiser(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"ste_block_{i}",
-            )(x, is_spatial=True, time_emb=t, deterministic=deterministic)
+            )(x, True, t, deterministic)
             x = spatial_norm(x)
 
             if i == 0:
                 x = x + temporal_pos[:, :, None, :].astype(x.dtype)
                 x = pos_drop(x, deterministic=deterministic)
 
-            x = Block(
+            x = block_cls(
                 dim=c,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -326,7 +338,7 @@ class MixSTEDenoiser(nn.Module):
                 use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"tte_block_{i}",
-            )(x, is_spatial=False, time_emb=t, deterministic=deterministic)
+            )(x, False, t, deterministic)
             x = temporal_norm(x)
 
         if self.mode == "s2f":

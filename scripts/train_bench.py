@@ -40,7 +40,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 SWEEP_OUT = os.path.join(HERE, "train_roofline.json")
 PEAK_TFLOPS = 197.0  # v5e bf16 peak per chip (bench.py uses the same)
 
-SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "fast_f32", "fast_bf16")
+SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "flaxblk_f32", "flaxblk_bf16",
+                  "fast_f32", "fast_bf16")
 SWEEP_BATCHES = (8, 16, 32)
 
 
@@ -62,8 +63,13 @@ def measure(variant: str, b: int, frames: int) -> dict:
         num_frame=frames, num_joints=J, in_chans=2, embed_dim=C, depth=D,
         num_heads=8, mlp_ratio=2.0, qkv_bias=True, drop_path_rate=0.1,
         with_time_emb=True, mode="s2s", dtype=dtype,
+        # flaxblk = per-BLOCK remat (Config remat_mode="block", the
+        # recommended mode); flax = whole-graph remat (round-1 behavior).
+        remat_blocks=(path == "flaxblk"),
     )
-    if path == "flax":
+    if path == "flaxblk":
+        denoise_fn = make_denoise_fn(model, remat=False)
+    elif path == "flax":
         denoise_fn = make_denoise_fn(model, remat=True)
     else:
         denoise_fn = make_fast_train_denoise_fn(
@@ -136,8 +142,14 @@ def sweep():
         for b in SWEEP_BATCHES:
             key = f"{variant}_b{b}"
             if key in table:
-                print(f"{key}: cached ({table[key]['seqs_per_sec']} seq/s, "
-                      f"MFU {table[key]['mfu']})", flush=True)
+                cached = table[key]
+                if cached.get("failed"):
+                    print(f"{key}: cached FAILURE (delete from "
+                          f"{os.path.basename(SWEEP_OUT)} to re-attempt)",
+                          flush=True)
+                else:
+                    print(f"{key}: cached ({cached['seqs_per_sec']} seq/s, "
+                          f"MFU {cached['mfu']})", flush=True)
                 continue
             # Each point in its own subprocess: a clean jit cache, and one
             # wedged measurement only loses that point on watchdog restart.
@@ -147,7 +159,18 @@ def sweep():
                 capture_output=True, text=True,
             )
             if r.returncode != 0:
-                raise RuntimeError(f"{key} failed rc={r.returncode}:\n{r.stderr}")
+                # A point can fail terminally (e.g. flax_f32_b32's remat
+                # graph overflows the remote compile helper — HTTP 500).
+                # Record it as failed and move on; a retry would fail the
+                # same way and starve the rest of the sweep through the
+                # watchdog's restart budget. Delete the entry from
+                # train_roofline.json to re-attempt.
+                tail = "\n".join(r.stderr.strip().splitlines()[-3:])
+                print(f"{key}: FAILED rc={r.returncode}: {tail}", flush=True)
+                table[key] = dict(failed=True, rc=r.returncode, error=tail)
+                with open(SWEEP_OUT, "w") as f:
+                    json.dump(table, f, indent=2, sort_keys=True)
+                continue
             row = json.loads(r.stdout.strip().splitlines()[-1])
             print(f"{key}: {row['seqs_per_sec']} seq/s  MFU {row['mfu']} "
                   f"(hw {row['hw_util_with_remat']})", flush=True)

@@ -178,7 +178,9 @@ def test_run_tpu_recommended_config(tmp_path):
     assert cfg.num_heads == 4 and cfg.compute_dtype == "bfloat16"
     assert cfg.fast_train and cfg.fast_eval
     assert cfg.eval_f32_final_steps == 1 and cfg.eval_f32_head
-    assert cfg.remat and cfg.matmul_precision == "default"
+    assert cfg.eval_final_prec == "high3"
+    assert cfg.remat and cfg.remat_mode == "block"
+    assert cfg.matmul_precision == "default"
 
     errors = main(
         ["--config", "configs/h36m_gt_s2s_243f_tpu.json",

@@ -224,3 +224,40 @@ def test_runner_mixed_precision_eval(synth, tiny_cfg):
         test_ds.num_joints, test_ds.joints_left, test_ds.joints_right,
     )
     assert runner_f32.eval_diffusion.final_denoise_fn is None
+
+
+def test_block_remat_matches_no_remat(stack, tiny_cfg):
+    """Per-BLOCK rematerialisation (MixSTEDenoiser.remat_blocks, the
+    remat_mode="block" default) must preserve the param tree, the loss,
+    and the gradients of the plain forward — nn.remat is transparent to
+    module naming and the dropout rng stream."""
+    from diff3dhpe_tpu.engine import make_denoise_fn
+
+    model, _ = stack
+    model_blk = model.clone(remat_blocks=True)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 9, 17, 5))
+    params = model.init(key, x0, jnp.zeros((1,)))["params"]
+    params_blk = model_blk.init(key, x0, jnp.zeros((1,)))["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_blk)
+
+    gt = jax.random.normal(jax.random.PRNGKey(1), (4, 9, 17, 3))
+    x2d = jax.random.normal(jax.random.PRNGKey(2), (4, 9, 17, 2))
+
+    def lg(m):
+        diff = GaussianDiffusion.create(
+            make_denoise_fn(m), timesteps=20, sampling_timesteps=3,
+            clip_denoised=True, beta_schedule="cosine", clip_loss=True,
+            mode="s2s",
+        )
+        return jax.value_and_grad(
+            lambda p: diff.training_loss(
+                p, key, gt, x2d, dropout_key=jax.random.PRNGKey(3)
+            )
+        )(params)
+
+    l1, g1 = lg(model)
+    l2, g2 = lg(model_blk)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
