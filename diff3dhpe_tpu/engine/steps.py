@@ -111,12 +111,15 @@ def make_fast_train_denoise_fn(
     dtype=None,
     drop_path_rate: float = 0.1,
     temporal_mode: str = "rows",
+    ckpt_blocks: bool = False,
 ) -> Callable:
     """TRAINING denoise_fn on the fused-kernel forward: Pallas forward +
     XLA-recompute backward via custom VJP (models/fast_eval.py
     fast_forward_denoise_train). Drop-path scales are drawn from the
     dropout_key with flax DropPath semantics; with dropout_key=None
-    (eval/sampling calls) the fused inference forward runs directly."""
+    (eval/sampling calls) the fused inference forward runs directly.
+    ``ckpt_blocks``: per-block checkpoint of the XLA-recompute backward
+    (smaller backward working set, +1 forward of recompute FLOPs)."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import (
@@ -131,7 +134,7 @@ def make_fast_train_denoise_fn(
         num_frame=num_frame, num_joints=num_joints, depth=depth,
         num_heads=num_heads, with_time_emb=with_time_emb, mode=mode,
         dtype_name="bfloat16" if dtype == jnp.bfloat16 else "float32",
-        temporal_mode=temporal_mode,
+        temporal_mode=temporal_mode, ckpt_blocks=ckpt_blocks,
     )
 
     def denoise_fn(params, x, t, dropout_key=None):

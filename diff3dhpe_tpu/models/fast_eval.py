@@ -272,6 +272,7 @@ def xla_forward_denoise(
     mode: str = "s2s",
     dtype=jnp.float32,
     dp_scales=None,
+    checkpoint_blocks: bool = False,
 ):
     """Pure-XLA functional mirror of the MixSTE forward with explicit
     drop-path scales — the differentiable reference that
@@ -280,6 +281,11 @@ def xla_forward_denoise(
     Matches models.mixste.MixSTEDenoiser exactly when dp_scales is None or
     all-ones (drop_rate and attn_drop are 0 in every shipped config, so
     drop-path is the only stochastic regulariser; reference Block:90-135).
+
+    ``checkpoint_blocks``: each transformer block becomes its own
+    jax.checkpoint region, so a vjp through this mirror stores only block
+    boundaries and recomputes one block at a time (same gradients; smaller
+    backward working set at +1 forward of FLOPs).
     """
     from diff3dhpe_tpu.ops.attention import grand_attention
 
@@ -319,6 +325,10 @@ def xla_forward_denoise(
             return tok.reshape(b, f, p, c)
         return jnp.transpose(tok.reshape(b, p, f, c), (0, 2, 1, 3))
 
+    if checkpoint_blocks:
+        # args: (bp, x4, is_spatial, t_emb, dp) — is_spatial is static.
+        block = jax.checkpoint(block, static_argnums=(2,))
+
     x = _dense(params["fusion_layer"], x.astype(dtype))
     if with_time_emb:
         t = sinusoidal_pos_emb(time, c)
@@ -350,7 +360,12 @@ def xla_forward_denoise(
 
 FastTrainCfg = collections.namedtuple(
     "FastTrainCfg",
-    "num_frame num_joints depth num_heads with_time_emb mode dtype_name temporal_mode",
+    "num_frame num_joints depth num_heads with_time_emb mode dtype_name"
+    " temporal_mode ckpt_blocks",
+    # ckpt_blocks: per-block checkpoint of the XLA-recompute backward
+    # (see xla_forward_denoise). Default False = round-3 behavior (the
+    # backward vjps the monolithic mirror).
+    defaults=(False,),
 )
 
 
@@ -391,6 +406,7 @@ def _fftrain_bwd(cfg, res, g):
             depth=cfg.depth, num_heads=cfg.num_heads,
             with_time_emb=cfg.with_time_emb, mode=cfg.mode,
             dtype=_cfg_dtype(cfg), dp_scales=dp_scales,
+            checkpoint_blocks=getattr(cfg, "ckpt_blocks", False),
         )
 
     _, vjp = jax.vjp(ref_fn, params, x, time)

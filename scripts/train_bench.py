@@ -41,7 +41,7 @@ SWEEP_OUT = os.path.join(HERE, "train_roofline.json")
 PEAK_TFLOPS = 197.0  # v5e bf16 peak per chip (bench.py uses the same)
 
 SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "flaxblk_f32", "flaxblk_bf16",
-                  "fast_f32", "fast_bf16")
+                  "fast_f32", "fast_bf16", "fastblk_f32", "fastblk_bf16")
 SWEEP_BATCHES = (8, 16, 32)
 
 
@@ -72,10 +72,13 @@ def measure(variant: str, b: int, frames: int) -> dict:
     elif path == "flax":
         denoise_fn = make_denoise_fn(model, remat=True)
     else:
+        # fast = round-3 behavior (backward vjps the monolithic XLA
+        # mirror); fastblk = per-block checkpoint of that backward.
         denoise_fn = make_fast_train_denoise_fn(
             num_frame=frames, num_joints=J, depth=D, num_heads=8,
             with_time_emb=True, mode="s2s",
             dtype=dtype or jnp.float32, drop_path_rate=0.1,
+            ckpt_blocks=(path == "fastblk"),
         )
     diffusion = GaussianDiffusion.create(
         denoise_fn, timesteps=1000, sampling_timesteps=9,
@@ -165,7 +168,12 @@ def sweep():
                 # same way and starve the rest of the sweep through the
                 # watchdog's restart budget. Delete the entry from
                 # train_roofline.json to re-attempt.
-                tail = "\n".join(r.stderr.strip().splitlines()[-3:])
+                err_lines = [l for l in r.stderr.splitlines()
+                             if any(s in l for s in
+                                    ("Error", "INTERNAL", "RESOURCE",
+                                     "Exhausted", "HTTP"))]
+                tail = "\n".join(err_lines[-3:] or
+                                 r.stderr.strip().splitlines()[-3:])
                 print(f"{key}: FAILED rc={r.returncode}: {tail}", flush=True)
                 table[key] = dict(failed=True, rc=r.returncode, error=tail)
                 with open(SWEEP_OUT, "w") as f:

@@ -243,3 +243,26 @@ def test_shard_map_fast_train_step():
         jax.device_get(new_state.params), params0,
     )
     assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_ckpt_blocks_backward_matches_monolithic(setup):
+    """Per-block checkpoint of the XLA-recompute backward
+    (FastTrainCfg.ckpt_blocks) must not change gradients — it only changes
+    WHEN block activations are (re)built during the backward pass."""
+    _, params, x, t = setup
+    dp = draw_drop_path_scales(
+        jax.random.PRNGKey(9), 3, D, 0.5, num_frame=F, num_joints=J
+    )
+    base = dict(num_frame=F, num_joints=J, depth=D, num_heads=8,
+                with_time_emb=True, mode="s2s", dtype_name="float32",
+                temporal_mode="rows")
+    cfg_mono = FastTrainCfg(**base, ckpt_blocks=False)
+    cfg_blk = FastTrainCfg(**base, ckpt_blocks=True)
+
+    def loss(cfg):
+        return lambda p: jnp.sum(fast_forward_denoise_train(p, x, t, dp, cfg) ** 2)
+
+    g1 = jax.grad(loss(cfg_mono))(params)
+    g2 = jax.grad(loss(cfg_blk))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
