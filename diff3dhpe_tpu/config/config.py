@@ -109,6 +109,12 @@ class Config:
     # XLA-recompute backward, models/fast_eval.py). Gradients match the
     # flax path up to rounding; data-parallel meshes only.
     fast_train: bool = False
+    # Backward structure for fast_train: True (default) puts the custom-VJP
+    # boundary at each (spatial, temporal) block pair — the backward
+    # recomputes one pair at a time from stored boundaries (monolithic
+    # FLOPs, flaxblk-like memory, so large per-chip batches don't OOM);
+    # False restores the round-3 monolithic recompute backward.
+    fast_train_pair_vjp: bool = True
 
     # Checkpointing / eval
     resume: str = ""

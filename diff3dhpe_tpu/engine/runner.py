@@ -171,6 +171,7 @@ class Runner:
                     with_time_emb=cfg.with_time_emb,
                     mode="s2s" if cfg.out_all else "s2f",
                     dtype=train_dtype, drop_path_rate=cfg.drop_path_rate,
+                    pair_vjp=cfg.fast_train_pair_vjp,
                 ),
             )
         else:

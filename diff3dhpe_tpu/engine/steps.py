@@ -112,14 +112,20 @@ def make_fast_train_denoise_fn(
     drop_path_rate: float = 0.1,
     temporal_mode: str = "rows",
     ckpt_blocks: bool = False,
+    pair_vjp: bool = True,
 ) -> Callable:
     """TRAINING denoise_fn on the fused-kernel forward: Pallas forward +
     XLA-recompute backward via custom VJP (models/fast_eval.py
     fast_forward_denoise_train). Drop-path scales are drawn from the
     dropout_key with flax DropPath semantics; with dropout_key=None
     (eval/sampling calls) the fused inference forward runs directly.
-    ``ckpt_blocks``: per-block checkpoint of the XLA-recompute backward
-    (smaller backward working set, +1 forward of recompute FLOPs)."""
+    ``pair_vjp`` (default): the custom-VJP boundary sits at each
+    (spatial, temporal) block pair, so the backward recomputes one pair at
+    a time from stored boundaries — same gradients and FLOPs as the
+    monolithic backward, flaxblk-like memory (no OOM at large per-chip
+    batches; PERF.md round-4 pair-VJP study). ``pair_vjp=False`` restores
+    the round-3 monolithic backward; ``ckpt_blocks`` then checkpoints it
+    per block (slower: +1 forward of recompute FLOPs)."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import (
@@ -127,6 +133,7 @@ def make_fast_train_denoise_fn(
         draw_drop_path_scales,
         fast_forward_denoise,
         fast_forward_denoise_train,
+        fast_forward_denoise_train_pairs,
     )
 
     dtype = dtype or jnp.float32
@@ -148,6 +155,8 @@ def make_fast_train_denoise_fn(
             dropout_key, x.shape[0], depth, drop_path_rate,
             num_frame=num_frame, num_joints=num_joints,
         )
+        if pair_vjp:
+            return fast_forward_denoise_train_pairs(params, x, t, dp, cfg)
         return fast_forward_denoise_train(params, x, t, dp, cfg)
 
     denoise_fn.uses_pallas = True

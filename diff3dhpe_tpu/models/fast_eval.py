@@ -259,6 +259,47 @@ def fast_forward_denoise(
 # Training path: fused forward + XLA-recompute backward (custom VJP)
 # ----------------------------------------------------------------------
 
+def _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype):
+    """One MixSTE transformer block (reference Block:90-135) as plain XLA on
+    a [B, F, J, C] buffer — the differentiable recompute target shared by
+    the monolithic mirror (xla_forward_denoise) and the pair-boundary
+    backward (_fused_pair)."""
+    from diff3dhpe_tpu.ops.attention import grand_attention
+
+    b, f, p, c = x4.shape
+    if t_emb is not None and "time_proj" in bp:
+        ti = _dense(bp["time_proj"], jax.nn.silu(t_emb).astype(dtype))
+        x4 = x4 + ti[:, None, None, :].astype(x4.dtype)
+    if is_spatial:
+        tok = x4.reshape(b * f, p, c)
+    else:
+        tok = jnp.transpose(x4, (0, 2, 1, 3)).reshape(b * p, f, c)
+    n = tok.shape[1]
+
+    def branch_scale(col, y):
+        if dp is None:
+            return y
+        # dp is per attention group [B, G, 2] (G = F spatial / J
+        # temporal); tok rows are exactly the B*G groups in order.
+        s = dp[:, :, col].reshape(tok.shape[0])
+        return y * s[:, None, None].astype(y.dtype)
+
+    xn = _layernorm(bp["norm1"], tok, 1e-6)
+    qkv = _dense(bp["attn"]["qkv"], xn)
+    qkv = qkv.reshape(tok.shape[0], n, 3, num_heads, c // num_heads)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
+    att = grand_attention(qkv[0], qkv[1], qkv[2])
+    att = jnp.transpose(att, (0, 2, 1, 3)).reshape(tok.shape[0], n, c)
+    tok = tok + branch_scale(0, _dense(bp["attn"]["proj"], att))
+    mn = _layernorm(bp["norm2"], tok, 1e-6)
+    mid = jax.nn.gelu(_dense(bp["mlp"]["fc1"], mn), approximate=False)
+    tok = tok + branch_scale(1, _dense(bp["mlp"]["fc2"], mid))
+
+    if is_spatial:
+        return tok.reshape(b, f, p, c)
+    return jnp.transpose(tok.reshape(b, p, f, c), (0, 2, 1, 3))
+
+
 def xla_forward_denoise(
     params: dict,
     x,
@@ -287,43 +328,11 @@ def xla_forward_denoise(
     boundaries and recomputes one block at a time (same gradients; smaller
     backward working set at +1 forward of FLOPs).
     """
-    from diff3dhpe_tpu.ops.attention import grand_attention
-
     b, f, p, _ = x.shape
     c = params["fusion_layer"]["kernel"].shape[-1]
 
     def block(bp, x4, is_spatial, t_emb, dp):
-        if t_emb is not None and "time_proj" in bp:
-            ti = _dense(bp["time_proj"], jax.nn.silu(t_emb).astype(dtype))
-            x4 = x4 + ti[:, None, None, :].astype(x4.dtype)
-        if is_spatial:
-            tok = x4.reshape(b * f, p, c)
-        else:
-            tok = jnp.transpose(x4, (0, 2, 1, 3)).reshape(b * p, f, c)
-        n = tok.shape[1]
-
-        def branch_scale(col, y):
-            if dp is None:
-                return y
-            # dp is per attention group [B, G, 2] (G = F spatial / J
-            # temporal); tok rows are exactly the B*G groups in order.
-            s = dp[:, :, col].reshape(tok.shape[0])
-            return y * s[:, None, None].astype(y.dtype)
-
-        xn = _layernorm(bp["norm1"], tok, 1e-6)
-        qkv = _dense(bp["attn"]["qkv"], xn)
-        qkv = qkv.reshape(tok.shape[0], n, 3, num_heads, c // num_heads)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-        att = grand_attention(qkv[0], qkv[1], qkv[2])
-        att = jnp.transpose(att, (0, 2, 1, 3)).reshape(tok.shape[0], n, c)
-        tok = tok + branch_scale(0, _dense(bp["attn"]["proj"], att))
-        mn = _layernorm(bp["norm2"], tok, 1e-6)
-        mid = jax.nn.gelu(_dense(bp["mlp"]["fc1"], mn), approximate=False)
-        tok = tok + branch_scale(1, _dense(bp["mlp"]["fc2"], mid))
-
-        if is_spatial:
-            return tok.reshape(b, f, p, c)
-        return jnp.transpose(tok.reshape(b, p, f, c), (0, 2, 1, 3))
+        return _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype)
 
     if checkpoint_blocks:
         # args: (bp, x4, is_spatial, t_emb, dp) — is_spatial is static.
@@ -416,6 +425,206 @@ def _fftrain_bwd(cfg, res, g):
 
 
 fast_forward_denoise_train.defvjp(_fftrain_fwd, _fftrain_bwd)
+
+
+# ----------------------------------------------------------------------
+# Pair-boundary custom VJP: fused forward per (spatial, temporal) block
+# pair; backward recomputes ONLY that pair through the XLA mirror from the
+# stored pair-input boundary.
+#
+# Why (train-roofline round 4, PERF.md): the monolithic custom VJP above
+# vjps the WHOLE XLA mirror, so its backward materialises every
+# intermediate of a full forward at once (OOM beyond b8 f32 / b16 bf16 at
+# 243f); the ckpt_blocks escape hatch bounds memory but executes a 5th
+# forward (fused fwd + checkpoint fwd + per-block recompute + 2x bwd).
+# Putting the custom-VJP boundary at each PAIR keeps the fused forward's
+# speed AND flaxblk-like memory (8 stored [rows, C] boundaries + one
+# pair's vjp working set) at the monolithic path's 4x-forward FLOPs —
+# it dominates both.
+# ----------------------------------------------------------------------
+
+PairCfg = collections.namedtuple(
+    "PairCfg", "b f p c f8 heads dtype_name temporal_mode interpret"
+)
+
+
+def _pair_dtype(cfg):
+    return jnp.bfloat16 if cfg.dtype_name == "bfloat16" else jnp.float32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_pair(cfg: PairCfg, pp, x_flat, t, dp_s, dp_t):
+    """One (spatial, temporal) block pair on the flat padded trunk buffer.
+
+    pp: {"ste", "tte", "spatial_norm", "temporal_norm"[, "temporal_pos_embed"]}
+    x_flat [B*F8*J, C] spatial-major; t [B, C] diffusion-time embedding
+    (ignored when the blocks have no time_proj); dp_s [B, F, 2] /
+    dp_t [B, J, 2] per-group drop-path scales.
+
+    Semantics match one iteration of fast_forward_denoise's trunk loop:
+    pad frames (f8 > f) are garbage that never leaks into real rows
+    (spatial pad-groups attend among themselves; temporal kernels mask
+    keys >= F), which is what makes the unpadded per-pair backward below
+    exact.
+    """
+    b, f, p, c, f8 = cfg.b, cfg.f, cfg.p, cfg.c, cfg.f8
+    dtype = _pair_dtype(cfg)
+    rows_item = f8 * p
+    interpret = cfg.interpret
+
+    def t_rows_for(bp):
+        if "time_proj" not in bp:
+            return None
+        return _dense(bp["time_proj"], jax.nn.silu(t).astype(dtype))
+
+    dp_s_rows = None
+    if dp_s is not None:
+        d = dp_s
+        if f8 != f:
+            d = jnp.pad(d, ((0, 0), (0, f8 - f), (0, 0)))
+        dp_s_rows = jnp.broadcast_to(
+            d[:, :, None, :], (b, f8, p, 2)
+        ).reshape(b * rows_item, 2)
+
+    x_flat = fused_transformer_block(
+        x_flat, pp["ste"], n=p, heads=cfg.heads, interpret=interpret,
+        out_ln_params=pp["spatial_norm"], t_rows=t_rows_for(pp["ste"]),
+        rows_per_item=rows_item, dp_scales=dp_s_rows,
+    )
+    if "temporal_pos_embed" in pp:
+        x4 = x_flat.reshape(b, f8, p, c)
+        x4 = x4.at[:, :f].add(
+            pp["temporal_pos_embed"][0][None, :, None].astype(x4.dtype)
+        )
+        x_flat = x4.reshape(b * rows_item, c)
+
+    t_it = t_rows_for(pp["tte"])
+    if cfg.temporal_mode == "cols":
+        dp_t_g = dp_t.reshape(b * p, 2) if dp_t is not None else None
+        x_cols = fused_temporal_block_cols(
+            x_flat.reshape(b * f8, p * c), pp["tte"], n=f, f8=f8, j_groups=p,
+            heads=cfg.heads, interpret=interpret, t_rows=t_it,
+            out_ln_params=pp["temporal_norm"], dp_scales=dp_t_g,
+        )
+        return x_cols.reshape(b * rows_item, c)
+    dp_t_rows = None
+    if dp_t is not None:
+        dp_t_rows = jnp.broadcast_to(
+            dp_t[:, :, None, :], (b, p, f8, 2)
+        ).reshape(b * rows_item, 2)
+    x_t = jnp.transpose(x_flat.reshape(b, f8, p, c), (0, 2, 1, 3))
+    x_t = x_t.reshape(b * rows_item, c)
+    x_t = fused_transformer_block(
+        x_t, pp["tte"], n=f, heads=cfg.heads, interpret=interpret,
+        out_ln_params=pp["temporal_norm"], t_rows=t_it,
+        rows_per_item=rows_item, pre_padded_n8=f8, dp_scales=dp_t_rows,
+    )
+    return jnp.transpose(
+        x_t.reshape(b, p, f8, c), (0, 2, 1, 3)
+    ).reshape(b * rows_item, c)
+
+
+def _xla_pair(cfg: PairCfg, pp, x4, t, dp_s, dp_t):
+    """Differentiable XLA mirror of _fused_pair on the UNPADDED [B,F,J,C]
+    view — exactly two _xla_block calls plus the pair's out-LNs (and the
+    first pair's temporal positional embedding)."""
+    dtype = _pair_dtype(cfg)
+    x4 = _xla_block(pp["ste"], x4, True, t, dp_s, cfg.heads, dtype)
+    x4 = _layernorm(pp["spatial_norm"], x4, 1e-6)
+    if "temporal_pos_embed" in pp:
+        x4 = x4 + pp["temporal_pos_embed"][0][None, :, None].astype(x4.dtype)
+    x4 = _xla_block(pp["tte"], x4, False, t, dp_t, cfg.heads, dtype)
+    return _layernorm(pp["temporal_norm"], x4, 1e-6)
+
+
+def _fused_pair_fwd(cfg, pp, x_flat, t, dp_s, dp_t):
+    out = _fused_pair(cfg, pp, x_flat, t, dp_s, dp_t)
+    return out, (pp, x_flat, t, dp_s, dp_t)
+
+
+def _fused_pair_bwd(cfg, res, g):
+    pp, x_flat, t, dp_s, dp_t = res
+    b, f, p, c, f8 = cfg.b, cfg.f, cfg.p, cfg.c, cfg.f8
+    # Real rows of the pair's output never depend on pad rows of its input
+    # (pad frames are self-contained spatial groups; temporal attention
+    # masks keys >= F), and downstream consumers send zero cotangent into
+    # pad rows (the epilogue slices [:, :f]; the next pair's bwd re-pads
+    # with zeros below) — so the gradient through the UNPADDED mirror is
+    # the exact gradient of the padded fused forward.
+    x4 = x_flat.reshape(b, f8, p, c)[:, :f]
+    g4 = g.reshape(b, f8, p, c)[:, :f]
+
+    def fn(pp_, x4_, t_):
+        return _xla_pair(cfg, pp_, x4_, t_, dp_s, dp_t)
+
+    _, vjp = jax.vjp(fn, pp, x4, t)
+    d_pp, d_x4, d_t = vjp(g4)
+    d_x = (
+        jnp.zeros((b, f8, p, c), d_x4.dtype).at[:, :f].set(d_x4)
+        .reshape(b * f8 * p, c)
+    )
+    none_like = lambda a: None if a is None else jnp.zeros_like(a)
+    return d_pp, d_x, d_t, none_like(dp_s), none_like(dp_t)
+
+
+_fused_pair.defvjp(_fused_pair_fwd, _fused_pair_bwd)
+
+
+def fast_forward_denoise_train_pairs(params, x, time, dp_scales, cfg: FastTrainCfg):
+    """TRAINING forward with pair-boundary custom VJP (see block comment
+    above): the fused-kernel forward of fast_forward_denoise, but each
+    (spatial, temporal) block pair is its own custom-VJP unit whose
+    backward recomputes just that pair through _xla_pair. Same gradients
+    as fast_forward_denoise_train up to rounding; memory bounded by pair
+    boundaries instead of the whole mirror."""
+    dtype = _cfg_dtype(cfg)
+    interpret = jax.default_backend() != "tpu"
+    b, f, p, _ = x.shape
+    c = params["fusion_layer"]["kernel"].shape[-1]
+
+    x = _dense(params["fusion_layer"], x.astype(dtype))
+    if cfg.with_time_emb:
+        t = sinusoidal_pos_emb(time, c)
+        t = _dense(params["time_mlp_1"], t.astype(dtype))
+        t = jax.nn.gelu(t, approximate=False)
+        t = _dense(params["time_mlp_2"], t)  # [B, C]
+    else:
+        t = jnp.zeros((b, c), dtype)  # unused: blocks have no time_proj
+
+    x = x + params["spatial_pos_embed"][0][None, None].astype(x.dtype)
+    f8 = ((f + 7) // 8) * 8
+    if f8 != f:
+        x = jnp.pad(x, ((0, 0), (0, f8 - f), (0, 0), (0, 0)))
+    x_flat = x.reshape(b * f8 * p, c)
+
+    dp_sp, dp_tp = dp_scales if dp_scales is not None else (None, None)
+    pcfg = PairCfg(
+        b=b, f=f, p=p, c=c, f8=f8, heads=cfg.num_heads,
+        dtype_name=cfg.dtype_name, temporal_mode=cfg.temporal_mode,
+        interpret=interpret,
+    )
+    for i in range(cfg.depth):
+        pp = {
+            "ste": params[f"ste_block_{i}"],
+            "tte": params[f"tte_block_{i}"],
+            "spatial_norm": params["spatial_norm"],
+            "temporal_norm": params["temporal_norm"],
+        }
+        if i == 0:
+            pp["temporal_pos_embed"] = params["temporal_pos_embed"]
+        x_flat = _fused_pair(
+            pcfg, pp, x_flat, t,
+            dp_sp[i] if dp_sp is not None else None,
+            dp_tp[i] if dp_tp is not None else None,
+        )
+
+    x = x_flat.reshape(b, f8, p, c)[:, :f]
+    if cfg.mode == "s2f":
+        w = params["weighted_mean_kernel"].astype(x.dtype)
+        wb = params["weighted_mean_bias"].astype(x.dtype)
+        x = jnp.einsum("bfpc,f->bpc", x, w)[:, None] + wb
+    x = _layernorm(params["head_norm"], x, 1e-5)
+    return _dense(params["head"], x)
 
 
 def draw_drop_path_scales(

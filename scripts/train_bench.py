@@ -7,10 +7,15 @@ the train path used to report seq/s only, with no roofline accounting).
   python scripts/train_bench.py VARIANT [B] [FRAMES]   # one point
   python scripts/train_bench.py sweep                  # full table
 
-VARIANT: flax_f32 | flax_bf16 | fast_f32 | fast_bf16
-  flax_*: the regular flax forward with remat (the round-1 training path).
-  fast_*: fused Pallas forward + XLA-recompute backward via custom VJP
-          (models/fast_eval.py fast_forward_denoise_train).
+VARIANT: {flax,flaxblk,fast,fastblk,fastpair}_{f32,bf16}
+  flax_*:     regular flax forward, WHOLE-graph remat (round-1 path).
+  flaxblk_*:  flax forward, per-BLOCK remat (Config remat_mode="block").
+  fast_*:     fused Pallas forward + monolithic XLA-recompute backward
+              (models/fast_eval.py fast_forward_denoise_train).
+  fastblk_*:  fast_* with per-block checkpoint of that backward.
+  fastpair_*: fused forward with pair-boundary custom VJP — the backward
+              recomputes one (spatial, temporal) pair at a time from
+              stored boundaries (fast_forward_denoise_train_pairs).
 B defaults to 8, FRAMES to 243 (round-1 baseline: 361 ms/step = 22.2 seq/s).
 
 FLOPs accounting (reference hot path run.py:312-347 has no counterpart —
@@ -41,7 +46,8 @@ SWEEP_OUT = os.path.join(HERE, "train_roofline.json")
 PEAK_TFLOPS = 197.0  # v5e bf16 peak per chip (bench.py uses the same)
 
 SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "flaxblk_f32", "flaxblk_bf16",
-                  "fast_f32", "fast_bf16", "fastblk_f32", "fastblk_bf16")
+                  "fast_f32", "fast_bf16", "fastblk_f32", "fastblk_bf16",
+                  "fastpair_f32", "fastpair_bf16")
 SWEEP_BATCHES = (8, 16, 32)
 
 
@@ -73,12 +79,16 @@ def measure(variant: str, b: int, frames: int) -> dict:
         denoise_fn = make_denoise_fn(model, remat=True)
     else:
         # fast = round-3 behavior (backward vjps the monolithic XLA
-        # mirror); fastblk = per-block checkpoint of that backward.
+        # mirror); fastblk = per-block checkpoint of that backward;
+        # fastpair = pair-boundary custom VJP (round-4: backward
+        # recomputes one (spatial, temporal) pair at a time from stored
+        # boundaries — monolithic FLOPs at flaxblk memory).
         denoise_fn = make_fast_train_denoise_fn(
             num_frame=frames, num_joints=J, depth=D, num_heads=8,
             with_time_emb=True, mode="s2s",
             dtype=dtype or jnp.float32, drop_path_rate=0.1,
             ckpt_blocks=(path == "fastblk"),
+            pair_vjp=(path == "fastpair"),
         )
     diffusion = GaussianDiffusion.create(
         denoise_fn, timesteps=1000, sampling_timesteps=9,

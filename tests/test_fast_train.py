@@ -16,6 +16,7 @@ from diff3dhpe_tpu.models.fast_eval import (
     draw_drop_path_scales,
     fast_forward_denoise,
     fast_forward_denoise_train,
+    fast_forward_denoise_train_pairs,
     xla_forward_denoise,
 )
 
@@ -243,6 +244,55 @@ def test_shard_map_fast_train_step():
         jax.device_get(new_state.params), params0,
     )
     assert max(jax.tree.leaves(delta)) > 0
+
+
+@pytest.mark.parametrize("temporal_mode", ["rows", "cols"])
+def test_pair_vjp_forward_matches_fused(setup, temporal_mode):
+    """The pair-boundary train forward is the SAME fused-kernel computation
+    as fast_forward_denoise, just cut into custom-VJP units — outputs must
+    agree to rounding (F=9 -> f8=16, so the pad path is exercised)."""
+    _, params, x, t = setup
+    dp = draw_drop_path_scales(
+        jax.random.PRNGKey(5), 3, D, 0.5, num_frame=F, num_joints=J
+    )
+    cfg = FastTrainCfg(
+        num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
+        mode="s2s", dtype_name="float32", temporal_mode=temporal_mode,
+    )
+    out = fast_forward_denoise_train_pairs(params, x, t, dp, cfg)
+    ref = fast_forward_denoise(
+        params, x, t, temporal_mode=temporal_mode, dp_scales=dp, **KW
+    )
+    assert float(jnp.abs(out - ref).max()) < 1e-6
+
+
+def test_pair_vjp_grads_match_monolithic(setup):
+    """Pair-boundary backward (per-pair XLA recompute from stored
+    boundaries) must reproduce the monolithic custom-VJP gradients — the
+    boundary placement changes memory/scheduling, not math. Active
+    drop-path scales so branch-scale cotangents are exercised."""
+    _, params, x, t = setup
+    dp = draw_drop_path_scales(
+        jax.random.PRNGKey(9), 3, D, 0.5, num_frame=F, num_joints=J
+    )
+    cfg = FastTrainCfg(
+        num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
+        mode="s2s", dtype_name="float32", temporal_mode="rows",
+    )
+
+    def loss_pairs(p):
+        return jnp.sum(fast_forward_denoise_train_pairs(p, x, t, dp, cfg) ** 2)
+
+    def loss_mono(p):
+        return jnp.sum(fast_forward_denoise_train(p, x, t, dp, cfg) ** 2)
+
+    gp = jax.grad(loss_pairs)(params)
+    gm = jax.grad(loss_mono)(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
+        gp, gm,
+    )
+    assert max(jax.tree.leaves(rel)) < 2e-5, rel
 
 
 def test_ckpt_blocks_backward_matches_monolithic(setup):
