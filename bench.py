@@ -45,6 +45,10 @@ MIXED_F32_STEPS = int(os.environ.get("BENCH_MIXED_F32_STEPS", "1"))
 # "default" (1 bf16 pass — fails the accuracy gate at the 7.79 mm
 # operating point). See scripts/accuracy_study.json.
 FINAL_PREC = os.environ.get("BENCH_FINAL_PREC", "high3")
+# Precision tail inside the mixed mode's final step(s): 0 = whole step f32;
+# K>0 = only the last K block pairs + head run f32 (earlier pairs bf16) —
+# see Config.eval_f32_tail_pairs and the accuracy study's tailK variants.
+TAIL_PAIRS = int(os.environ.get("BENCH_TAIL_PAIRS", "0"))
 # Multi-hypothesis averaging (reference README:79 `-b 4`): hypotheses tile
 # the batch, so seq/s scales roughly as 1/repeat_n at fixed B.
 REPEAT_N = int(os.environ.get("BENCH_REPEAT_N", "1"))
@@ -110,11 +114,18 @@ def measure_tpu() -> dict:
     if FAST and DTYPE == "mixed":
         import dataclasses
 
+        if TAIL_PAIRS > 0:
+            final_fn = make_fast_denoise_fn(
+                dtype=jnp.bfloat16, f32_head=True, f32_prec=FINAL_PREC,
+                f32_tail_pairs=TAIL_PAIRS, **fast_kwargs
+            )
+        else:
+            final_fn = make_fast_denoise_fn(
+                dtype=jnp.float32, f32_prec=FINAL_PREC, **fast_kwargs
+            )
         diffusion = dataclasses.replace(
             diffusion,
-            final_denoise_fn=make_fast_denoise_fn(
-                dtype=jnp.float32, f32_prec=FINAL_PREC, **fast_kwargs
-            ),
+            final_denoise_fn=final_fn,
             final_denoise_steps=MIXED_F32_STEPS,
         )
     key = jax.random.PRNGKey(0)
@@ -295,6 +306,7 @@ def main():
             dtype=DTYPE,
             mixed_f32_steps=MIXED_F32_STEPS if DTYPE == "mixed" else 0,
             mixed_final_prec=FINAL_PREC if DTYPE == "mixed" else None,
+            mixed_f32_tail_pairs=TAIL_PAIRS if DTYPE == "mixed" else 0,
             repeat_n=REPEAT_N,
             baseline_torch_cpu_seqs_per_sec=round(baseline, 4),
             baseline_note="torch reference on host CPU (no GPU/TPU torch "

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="f32 contraction mode of the final f32 DDIM"
                              " steps (default: high3 — bf16x3, the"
                              " accuracy-study winner)")
+    parser.add_argument("--eval-f32-tail-pairs", type=int, default=None,
+                        metavar="K",
+                        help="inside the final f32 DDIM step(s), run only"
+                             " the last K block pairs + head at f32 (earlier"
+                             " pairs stay bf16); 0 = whole step f32")
     return parser
 
 
@@ -138,5 +143,6 @@ def args_to_overrides(args) -> dict:
         eval_f32_final_steps=args.eval_f32_final_steps,
         eval_f32_head=args.eval_f32_head or None,
         eval_final_prec=args.eval_final_prec,
+        eval_f32_tail_pairs=args.eval_f32_tail_pairs,
     )
     return mapping

@@ -105,6 +105,13 @@ class Config:
     # pass, +0.08 mm — fails the 0.5% rel gate). Only the final f32 steps
     # pay the multi-pass cost; the bf16 trunk steps are unaffected.
     eval_final_prec: str = "high3"
+    # Precision tail INSIDE the final f32 step(s): 0 = the whole final-step
+    # forward runs f32 (round-4 behavior); N>0 = only the last N
+    # (spatial, temporal) block pairs + head run f32 (at eval_final_prec),
+    # the earlier pairs stay bf16 — cheaper final step at the same gate if
+    # the accuracy study admits the tail depth (fast_mixed1_h3_tailK
+    # variants).
+    eval_f32_tail_pairs: int = 0
     # Fused-kernel TRAINING forward (custom VJP: Pallas forward +
     # XLA-recompute backward, models/fast_eval.py). Gradients match the
     # flax path up to rounding; data-parallel meshes only.
@@ -113,8 +120,16 @@ class Config:
     # boundary at each (spatial, temporal) block pair — the backward
     # recomputes one pair at a time from stored boundaries (monolithic
     # FLOPs, flaxblk-like memory, so large per-chip batches don't OOM);
-    # False restores the round-3 monolithic recompute backward.
+    # False restores the round-3 monolithic recompute backward, which is
+    # marginally faster at small per-chip batches (b8 bf16: ~43.4 vs ~42
+    # seq/s) but OOMs beyond b8 f32 / b16 bf16 — measured table in PERF.md
+    # "Round-5: pair-VJP sweep".
     fast_train_pair_vjp: bool = True
+    # Fused attention backward for fast_train: the recompute mirror's
+    # attention runs through a custom-VJP pair of Pallas kernels (forward
+    # dispatcher + flash-style in-VMEM backward) instead of XLA einsums —
+    # no [G, N, N] probability tensors in HBM during the backward.
+    fast_train_attn_bwd: bool = False
 
     # Checkpointing / eval
     resume: str = ""

@@ -148,13 +148,24 @@ class Runner:
                 # Mixed precision: the last N DDIM steps run an f32 fused
                 # forward (GaussianDiffusion.ddim_sample_loop unrolls them
                 # after the bf16 scan) with the contraction mode pinned by
-                # eval_final_prec ("highest" = the accuracy-study winner).
-                self.eval_diffusion = _dc.replace(
-                    self.eval_diffusion,
-                    final_denoise_fn=make_fast_denoise_fn(
+                # eval_final_prec ("high3" = the accuracy-study winner).
+                # eval_f32_tail_pairs > 0 further splits that final-step
+                # forward: only its last N block pairs + head run f32.
+                if cfg.eval_f32_tail_pairs > 0:
+                    final_fn = make_fast_denoise_fn(
+                        dtype=jnp.bfloat16, f32_head=True,
+                        f32_prec=cfg.eval_final_prec,
+                        f32_tail_pairs=cfg.eval_f32_tail_pairs,
+                        **fast_kwargs,
+                    )
+                else:
+                    final_fn = make_fast_denoise_fn(
                         dtype=jnp.float32, f32_prec=cfg.eval_final_prec,
                         **fast_kwargs,
-                    ),
+                    )
+                self.eval_diffusion = _dc.replace(
+                    self.eval_diffusion,
+                    final_denoise_fn=final_fn,
                     final_denoise_steps=cfg.eval_f32_final_steps,
                 )
         else:
@@ -172,6 +183,7 @@ class Runner:
                     mode="s2s" if cfg.out_all else "s2f",
                     dtype=train_dtype, drop_path_rate=cfg.drop_path_rate,
                     pair_vjp=cfg.fast_train_pair_vjp,
+                    attn_bwd=cfg.fast_train_attn_bwd,
                 ),
             )
         else:

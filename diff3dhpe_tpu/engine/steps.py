@@ -75,13 +75,16 @@ def make_fast_denoise_fn(
     fuse_time: bool = True,
     f32_head: bool = False,
     f32_prec: str | None = None,
+    f32_tail_pairs: int = 0,
 ) -> Callable:
     """Inference-optimised denoise_fn: the fused-kernel functional forward
     (models/fast_eval.py) over the same param tree. Eval-only (no VJP).
     ``f32_head`` keeps the head epilogue (final LN + [C, 3] projection) in
     f32 so a bf16 trunk's x0-estimate is not output-rounded to bf16.
     ``f32_prec`` pins this callable's f32 contraction mode ("default" /
-    "highest"), independent of the DIFF_FUSED_F32_PREC env."""
+    "highest" / "high3"), independent of the DIFF_FUSED_F32_PREC env.
+    ``f32_tail_pairs`` (bf16 dtype only) runs the last N block pairs + head
+    at f32 under that contraction mode (models/fast_eval.py)."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import fast_forward_denoise
@@ -95,6 +98,7 @@ def make_fast_denoise_fn(
             depth=depth, num_heads=num_heads, with_time_emb=with_time_emb,
             mode=mode, dtype=dtype, temporal_mode=temporal_mode,
             fuse_time=fuse_time, f32_head=f32_head, f32_prec=f32_prec,
+            f32_tail_pairs=f32_tail_pairs,
         )
 
     denoise_fn.uses_pallas = True
@@ -113,6 +117,7 @@ def make_fast_train_denoise_fn(
     temporal_mode: str = "rows",
     ckpt_blocks: bool = False,
     pair_vjp: bool = True,
+    attn_bwd: bool = False,
 ) -> Callable:
     """TRAINING denoise_fn on the fused-kernel forward: Pallas forward +
     XLA-recompute backward via custom VJP (models/fast_eval.py
@@ -122,10 +127,14 @@ def make_fast_train_denoise_fn(
     ``pair_vjp`` (default): the custom-VJP boundary sits at each
     (spatial, temporal) block pair, so the backward recomputes one pair at
     a time from stored boundaries — same gradients and FLOPs as the
-    monolithic backward, flaxblk-like memory (no OOM at large per-chip
-    batches; PERF.md round-4 pair-VJP study). ``pair_vjp=False`` restores
+    monolithic backward with flaxblk-like memory (measured capacity and
+    throughput table: PERF.md "Round-5: pair-VJP sweep"; at the b8 bf16
+    point the monolithic backward is marginally faster, ~43.4 vs ~42
+    seq/s, but OOMs beyond b8 f32 / b16 bf16). ``pair_vjp=False`` restores
     the round-3 monolithic backward; ``ckpt_blocks`` then checkpoints it
-    per block (slower: +1 forward of recompute FLOPs)."""
+    per block (slower: +1 forward of recompute FLOPs). ``attn_bwd`` runs
+    the mirror's attention through the flash-style fused backward kernel
+    (ops/attention.py::grand_attention_trainable) instead of einsums."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import (
@@ -136,12 +145,25 @@ def make_fast_train_denoise_fn(
         fast_forward_denoise_train_pairs,
     )
 
+    if pair_vjp and ckpt_blocks:
+        # ckpt_blocks structures the MONOLITHIC backward only; the pair
+        # backward already bounds memory at pair boundaries, so the flag
+        # would be silently ignored (round-4 advisor finding).
+        import warnings
+
+        warnings.warn(
+            "ckpt_blocks has no effect when pair_vjp=True (the pair "
+            "backward already recomputes one pair at a time); set "
+            "pair_vjp=False to use the per-block-checkpointed monolithic "
+            "backward", stacklevel=2,
+        )
     dtype = dtype or jnp.float32
     cfg = FastTrainCfg(
         num_frame=num_frame, num_joints=num_joints, depth=depth,
         num_heads=num_heads, with_time_emb=with_time_emb, mode=mode,
         dtype_name="bfloat16" if dtype == jnp.bfloat16 else "float32",
         temporal_mode=temporal_mode, ckpt_blocks=ckpt_blocks,
+        attn_bwd=attn_bwd,
     )
 
     def denoise_fn(params, x, t, dropout_key=None):

@@ -135,3 +135,76 @@ def load_matching_params(target_params: dict, source_params: dict) -> tuple:
     treedef = jax.tree_util.tree_structure(target_params)
     ordered = [merged[p] for p, _ in jax.tree_util.tree_flatten_with_path(target_params)[0]]
     return jax.tree_util.tree_unflatten(treedef, ordered), matched, discarded
+
+
+# ----------------------------------------------------------------------
+# Inverse direction: flax param tree -> reference torch state-dict names.
+# Closes the trained-weight parity chain (VERDICT r4 Next #2): weights
+# trained HERE can be loaded into the reference model
+# (common/nets/model_conditional_diffusion_mixste_s2s_grand_linLift.py)
+# and run through the reference's own ddim_sample_loop for an end-to-end
+# torch-vs-jax comparison at flagship geometry.
+# ----------------------------------------------------------------------
+
+def _inv_linear(dst: Dict[str, np.ndarray], layer: Mapping, torch_name: str):
+    k = _np(layer["kernel"])
+    dst[f"{torch_name}.weight"] = np.ascontiguousarray(
+        np.asarray(k, np.float32).T  # flax [in,out] -> torch [out,in]
+    )
+    if "bias" in layer:
+        dst[f"{torch_name}.bias"] = np.asarray(_np(layer["bias"]), np.float32)
+
+
+def _inv_layernorm(dst: Dict[str, np.ndarray], ln: Mapping, torch_name: str):
+    dst[f"{torch_name}.weight"] = np.asarray(_np(ln["scale"]), np.float32)
+    dst[f"{torch_name}.bias"] = np.asarray(_np(ln["bias"]), np.float32)
+
+
+def convert_params_to_torch_state_dict(
+    params: Mapping,
+    depth: int,
+    with_time_emb: bool = True,
+    mode: str = "s2s",
+) -> Dict[str, np.ndarray]:
+    """MixSTEDenoiser param tree -> reference-model state dict (numpy).
+
+    Keys match ``ConditionalDiffusionMixSTES2SGRANDLinLift.state_dict()``
+    (no ``module.``/``model.`` prefixes — load directly into the bare
+    reference model with ``strict=True`` after ``torch.from_numpy``).
+    Exact inverse of convert_torch_state_dict (round-trip tested in
+    tests/test_model.py)."""
+    sd: Dict[str, np.ndarray] = {}
+    _inv_linear(sd, params["fusion_layer"], "fusion_layer")
+    if with_time_emb:
+        _inv_linear(sd, params["time_mlp_1"], "time_mlp.1")
+        _inv_linear(sd, params["time_mlp_2"], "time_mlp.3")
+    sd["Spatial_pos_embed"] = np.asarray(_np(params["spatial_pos_embed"]), np.float32)
+    sd["Temporal_pos_embed"] = np.asarray(_np(params["temporal_pos_embed"]), np.float32)
+
+    for kind, torch_prefix in (("ste_block", "STEblocks"), ("tte_block", "TTEblocks")):
+        for i in range(depth):
+            blk = params[f"{kind}_{i}"]
+            tp = f"{torch_prefix}.{i}"
+            _inv_layernorm(sd, blk["norm1"], f"{tp}.norm1")
+            _inv_layernorm(sd, blk["norm2"], f"{tp}.norm2")
+            _inv_linear(sd, blk["attn"]["qkv"], f"{tp}.attn.qkv")
+            _inv_linear(sd, blk["attn"]["proj"], f"{tp}.attn.proj")
+            _inv_linear(sd, blk["mlp"]["fc1"], f"{tp}.mlp.fc1")
+            _inv_linear(sd, blk["mlp"]["fc2"], f"{tp}.mlp.fc2")
+            if with_time_emb and "time_proj" in blk:
+                _inv_linear(sd, blk["time_proj"], f"{tp}.time_mlp.1")
+
+    _inv_layernorm(sd, params["spatial_norm"], "Spatial_norm")
+    _inv_layernorm(sd, params["temporal_norm"], "Temporal_norm")
+    _inv_layernorm(sd, params["head_norm"], "head.0")
+    _inv_linear(sd, params["head"], "head.1")
+
+    if mode == "s2f":
+        f = int(np.shape(_np(params["weighted_mean_kernel"]))[0])
+        sd["weighted_mean.weight"] = np.asarray(
+            _np(params["weighted_mean_kernel"]), np.float32
+        ).reshape(1, f, 1)
+        sd["weighted_mean.bias"] = np.asarray(
+            _np(params["weighted_mean_bias"]), np.float32
+        ).reshape(1)
+    return sd

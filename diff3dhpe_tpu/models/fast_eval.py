@@ -60,6 +60,7 @@ def fast_forward_denoise(
     fuse_time: bool = True,
     f32_head: bool = False,
     f32_prec: Optional[str] = None,
+    f32_tail_pairs: int = 0,
 ):
     """forward_denoise(x [B, F, J, Cin+3], time [B]) -> [B, F_out, J, 3].
 
@@ -83,10 +84,22 @@ def fast_forward_denoise(
     blocks (models/mixste.py DropPath mask shape (tokens.shape[0], 1, 1)
     over the reshaped (b*f, p, c) / (b*p, f, c) token batches). See
     fast_forward_denoise_train for the differentiable wrapper.
+
+    ``f32_tail_pairs``: with a bf16 ``dtype``, run the LAST this-many
+    (spatial, temporal) block pairs — and the head — at f32 activations
+    under the ``f32_prec`` contraction mode, while the earlier pairs stay
+    bf16. Round-4 localisation (PERF.md) proved the entire gate-relevant
+    bf16 eval error is set by the FINAL DDIM step's forward; this splits
+    that one forward further, trading the cheap bf16 pairs' rounding
+    against the tail's exact contraction — the accuracy study measures
+    which tail depth still passes the gate (scripts/accuracy_study.py
+    ``fast_mixed1_h3_tailK``).
     """
     if f32_prec is not None:
         # Pin this call's f32 contraction mode (trace-time; see
         # ops/fused_block.py::f32_precision_scope) and re-enter without it.
+        # bf16 contractions ignore the mode (_dot_f32 pins DEFAULT for bf16
+        # operands), so scoping the whole call only affects the f32 parts.
         with f32_precision_scope(f32_prec):
             return fast_forward_denoise(
                 params, x, time, num_frame=num_frame, num_joints=num_joints,
@@ -94,6 +107,7 @@ def fast_forward_denoise(
                 mode=mode, dtype=dtype, interpret=interpret,
                 temporal_mode=temporal_mode, dp_scales=dp_scales,
                 fuse_time=fuse_time, f32_head=f32_head,
+                f32_tail_pairs=f32_tail_pairs,
             )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -102,13 +116,21 @@ def fast_forward_denoise(
 
     x = _dense(params["fusion_layer"], x.astype(dtype))  # [B, F, J, C]
 
-    if with_time_emb:
-        t = sinusoidal_pos_emb(time, c)
-        t = _dense(params["time_mlp_1"], t.astype(dtype))
-        t = jax.nn.gelu(t, approximate=False)
-        t = _dense(params["time_mlp_2"], t)  # [B, C]
-    else:
-        t = None
+    def compute_t(dt):
+        """Diffusion-time embedding [B, C] at activation dtype ``dt``."""
+        tt = sinusoidal_pos_emb(time, c)
+        tt = _dense(params["time_mlp_1"], tt.astype(dt))
+        tt = jax.nn.gelu(tt, approximate=False)
+        return _dense(params["time_mlp_2"], tt)  # [B, C]
+
+    t = compute_t(dtype) if with_time_emb else None
+
+    tail_start = depth
+    if f32_tail_pairs and dtype == jnp.bfloat16:
+        assert temporal_mode != "legacy" and dp_scales is None, (
+            "f32_tail_pairs is an eval-path feature (rows/cols modes)"
+        )
+        tail_start = max(0, depth - int(f32_tail_pairs))
 
     if temporal_mode == "legacy":
         # Round-1 structure (A/B reference): unpadded frame-major tokens,
@@ -186,6 +208,13 @@ def fast_forward_denoise(
                 ).reshape(b * rows_item, c)
 
     for i in range(depth):
+        if i == tail_start and x_flat.dtype == jnp.bfloat16:
+            # Precision tail: the remaining pairs (and the head) run at f32
+            # activations; the time embedding is recomputed at f32 so the
+            # tail's per-block adds carry no bf16 rounding of their own.
+            x_flat = x_flat.astype(jnp.float32)
+            dtype = jnp.float32
+            t = compute_t(jnp.float32) if with_time_emb else None
         block_s = params[f"ste_block_{i}"]
         block_t = params[f"tte_block_{i}"]
         t_i = None
@@ -259,13 +288,23 @@ def fast_forward_denoise(
 # Training path: fused forward + XLA-recompute backward (custom VJP)
 # ----------------------------------------------------------------------
 
-def _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype):
+def _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype,
+               fused_attn_bwd: bool = False):
     """One MixSTE transformer block (reference Block:90-135) as plain XLA on
     a [B, F, J, C] buffer — the differentiable recompute target shared by
     the monolithic mirror (xla_forward_denoise) and the pair-boundary
-    backward (_fused_pair)."""
-    from diff3dhpe_tpu.ops.attention import grand_attention
+    backward (_fused_pair).
 
+    ``fused_attn_bwd`` swaps the attention core for
+    grand_attention_trainable (custom VJP: Pallas forward dispatcher +
+    flash-style in-VMEM backward kernel for long N) — same math, no
+    [G, N, N] probability tensors in HBM during the backward."""
+    from diff3dhpe_tpu.ops.attention import (
+        grand_attention,
+        grand_attention_trainable,
+    )
+
+    attn_fn = grand_attention_trainable if fused_attn_bwd else grand_attention
     b, f, p, c = x4.shape
     if t_emb is not None and "time_proj" in bp:
         ti = _dense(bp["time_proj"], jax.nn.silu(t_emb).astype(dtype))
@@ -288,7 +327,7 @@ def _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype):
     qkv = _dense(bp["attn"]["qkv"], xn)
     qkv = qkv.reshape(tok.shape[0], n, 3, num_heads, c // num_heads)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-    att = grand_attention(qkv[0], qkv[1], qkv[2])
+    att = attn_fn(qkv[0], qkv[1], qkv[2])
     att = jnp.transpose(att, (0, 2, 1, 3)).reshape(tok.shape[0], n, c)
     tok = tok + branch_scale(0, _dense(bp["attn"]["proj"], att))
     mn = _layernorm(bp["norm2"], tok, 1e-6)
@@ -314,6 +353,7 @@ def xla_forward_denoise(
     dtype=jnp.float32,
     dp_scales=None,
     checkpoint_blocks: bool = False,
+    fused_attn_bwd: bool = False,
 ):
     """Pure-XLA functional mirror of the MixSTE forward with explicit
     drop-path scales — the differentiable reference that
@@ -332,7 +372,8 @@ def xla_forward_denoise(
     c = params["fusion_layer"]["kernel"].shape[-1]
 
     def block(bp, x4, is_spatial, t_emb, dp):
-        return _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype)
+        return _xla_block(bp, x4, is_spatial, t_emb, dp, num_heads, dtype,
+                          fused_attn_bwd=fused_attn_bwd)
 
     if checkpoint_blocks:
         # args: (bp, x4, is_spatial, t_emb, dp) — is_spatial is static.
@@ -370,11 +411,14 @@ def xla_forward_denoise(
 FastTrainCfg = collections.namedtuple(
     "FastTrainCfg",
     "num_frame num_joints depth num_heads with_time_emb mode dtype_name"
-    " temporal_mode ckpt_blocks",
+    " temporal_mode ckpt_blocks attn_bwd",
     # ckpt_blocks: per-block checkpoint of the XLA-recompute backward
     # (see xla_forward_denoise). Default False = round-3 behavior (the
     # backward vjps the monolithic mirror).
-    defaults=(False,),
+    # attn_bwd: the mirror's attention runs through the custom-VJP
+    # grand_attention_trainable (flash-style Pallas backward) instead of
+    # the einsum path (_xla_block fused_attn_bwd).
+    defaults=(False, False),
 )
 
 
@@ -416,6 +460,7 @@ def _fftrain_bwd(cfg, res, g):
             with_time_emb=cfg.with_time_emb, mode=cfg.mode,
             dtype=_cfg_dtype(cfg), dp_scales=dp_scales,
             checkpoint_blocks=getattr(cfg, "ckpt_blocks", False),
+            fused_attn_bwd=getattr(cfg, "attn_bwd", False),
         )
 
     _, vjp = jax.vjp(ref_fn, params, x, time)
@@ -444,7 +489,8 @@ fast_forward_denoise_train.defvjp(_fftrain_fwd, _fftrain_bwd)
 # ----------------------------------------------------------------------
 
 PairCfg = collections.namedtuple(
-    "PairCfg", "b f p c f8 heads dtype_name temporal_mode interpret"
+    "PairCfg", "b f p c f8 heads dtype_name temporal_mode interpret attn_bwd",
+    defaults=(False,),
 )
 
 
@@ -529,11 +575,14 @@ def _xla_pair(cfg: PairCfg, pp, x4, t, dp_s, dp_t):
     view — exactly two _xla_block calls plus the pair's out-LNs (and the
     first pair's temporal positional embedding)."""
     dtype = _pair_dtype(cfg)
-    x4 = _xla_block(pp["ste"], x4, True, t, dp_s, cfg.heads, dtype)
+    ab = getattr(cfg, "attn_bwd", False)
+    x4 = _xla_block(pp["ste"], x4, True, t, dp_s, cfg.heads, dtype,
+                    fused_attn_bwd=ab)
     x4 = _layernorm(pp["spatial_norm"], x4, 1e-6)
     if "temporal_pos_embed" in pp:
         x4 = x4 + pp["temporal_pos_embed"][0][None, :, None].astype(x4.dtype)
-    x4 = _xla_block(pp["tte"], x4, False, t, dp_t, cfg.heads, dtype)
+    x4 = _xla_block(pp["tte"], x4, False, t, dp_t, cfg.heads, dtype,
+                    fused_attn_bwd=ab)
     return _layernorm(pp["temporal_norm"], x4, 1e-6)
 
 
@@ -601,7 +650,7 @@ def fast_forward_denoise_train_pairs(params, x, time, dp_scales, cfg: FastTrainC
     pcfg = PairCfg(
         b=b, f=f, p=p, c=c, f8=f8, heads=cfg.num_heads,
         dtype_name=cfg.dtype_name, temporal_mode=cfg.temporal_mode,
-        interpret=interpret,
+        interpret=interpret, attn_bwd=getattr(cfg, "attn_bwd", False),
     )
     for i in range(cfg.depth):
         pp = {

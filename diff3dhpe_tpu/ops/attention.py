@@ -254,3 +254,157 @@ def fused_grand_attention(q, k, v, scale=None, interpret=None):
 def grand_attention_pallas(q, k, v, scale=None, interpret=False):
     """Back-compat alias: fused GRAND attention over [G, N, D] groups."""
     return grand_attention_pallas_3d(q, k, v, scale=scale, interpret=interpret)
+
+
+# ----------------------------------------------------------------------
+# Training backward: fused GRAND attention VJP (round 5, VERDICT r4 #3).
+#
+# The fast-train custom VJP recomputes its backward through a pure-XLA
+# mirror; its attention backward materialises the [G, N, N] probability
+# tensors in HBM several times (recomputed P, dP, dS) and runs the five
+# N x N x D backward matmuls unfused. This kernel computes the whole
+# attention backward per group in VMEM — P is recomputed in-kernel from
+# q, k (flash-style; nothing N^2 ever touches HBM) and dq/dk/dv leave in
+# one pass. Derivation (out = P V - V, P = softmax(q k^T * scale)):
+#   dV  = P^T do - do
+#   dP  = do V^T
+#   dS  = P o (dP - rowsum(dP o P))        (softmax VJP)
+#   dq  = dS k * scale,   dk = dS^T q * scale
+# ----------------------------------------------------------------------
+
+def _grand_attn_bwd_tile(q, k, v, do, scale, mask):
+    """One group's GRAND attention backward; f32 math, [N, D] tiles."""
+    prec = jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16 else None
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    logits = dot(q, k, ((1,), (1,))) * scale
+    if mask is not None:
+        logits = logits + mask
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [N, N] f32
+
+    dof = do.astype(jnp.float32)
+    dp = dot(do, v, ((1,), (1,)))                        # do V^T
+    dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - dsum) * scale).astype(q.dtype)       # [N, N]
+    pq = p.astype(q.dtype)
+    dq = dot(ds, k, ((1,), (0,)))
+    dk = dot(ds, q, ((0,), (0,)))                        # dS^T q
+    dv = dot(pq, do, ((0,), (0,))) - dof                 # P^T do - do
+    return dq, dk, dv
+
+
+def _grand_attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                           *, scale, gps, n):
+    f8 = q_ref.shape[1]
+    mask = None
+    if f8 != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (f8, f8), 1)
+        mask = jnp.where(col < n, 0.0, -1e30).astype(jnp.float32)
+    dqs, dks, dvs = [], [], []
+    for i in range(gps):
+        dq, dk, dv = _grand_attn_bwd_tile(
+            q_ref[i], k_ref[i], v_ref[i], do_ref[i], scale, mask
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    dq_ref[...] = jnp.stack(dqs).astype(dq_ref.dtype)
+    dk_ref[...] = jnp.stack(dks).astype(dk_ref.dtype)
+    dv_ref[...] = jnp.stack(dvs).astype(dv_ref.dtype)
+
+
+def grand_attention_bwd_pallas(q, k, v, do, scale=None, interpret=None,
+                               groups_per_step=4):
+    """Fused GRAND attention backward over [G, N, D] groups -> (dq, dk, dv).
+
+    N is padded to a multiple of 8 in XLA; pad KEYS are masked out of the
+    recomputed softmax (so dk/dv pad rows vanish) and pad dq rows are
+    sliced off."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g, n, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    n8 = ((n + 7) // 8) * 8
+    if n8 != n:
+        pad = ((0, 0), (0, n8 - n), (0, 0))
+        q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
+    gps = min(groups_per_step, g)
+    g2 = ((g + gps - 1) // gps) * gps
+    if g2 != g:
+        pad = ((0, g2 - g), (0, 0), (0, 0))
+        q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
+
+    spec = pl.BlockSpec((gps, n8, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_grand_attn_bwd_kernel, scale=scale, gps=gps, n=n),
+        grid=(g2 // gps,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((g2, n8, d), q.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * g2 * n * n * d,
+            bytes_accessed=7 * g2 * n * d * q.dtype.itemsize,
+            transcendentals=g2 * n * n,
+        ),
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq[:g, :n], dk[:g, :n], dv[:g, :n]
+
+
+def _grand_attention_bwd_xla(q, k, v, do, scale):
+    """XLA reference backward (same formulas; used for small N where the
+    per-group kernel's relayout would dominate, and in tests)."""
+    logits = jnp.einsum("...nd,...md->...nm", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dp = jnp.einsum("...nd,...md->...nm", do, v).astype(jnp.float32)
+    dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - dsum) * scale).astype(q.dtype)
+    pq = p.astype(q.dtype)
+    dq = jnp.einsum("...nm,...md->...nd", ds, k)
+    dk = jnp.einsum("...nm,...nd->...md", ds, q)
+    dv = jnp.einsum("...nm,...nd->...md", pq, do) - do
+    return dq, dk, dv
+
+
+@jax.custom_vjp
+def grand_attention_trainable(q, k, v):
+    """GRAND attention with a hand-fused backward.
+
+    Same function as grand_attention ([B, H, N, D] -> [B, H, N, D]) but
+    differentiable through Pallas kernels in BOTH directions: forward via
+    fused_grand_attention (dispatcher), backward via the flash-style
+    in-VMEM kernel above for long N and the XLA formulas for small N.
+    Gradient parity vs jax.grad of grand_attention:
+    tests/test_pallas_attention.py."""
+    return grand_attention(q, k, v)
+
+
+def _gat_fwd(q, k, v):
+    return fused_grand_attention(q, k, v), (q, k, v)
+
+
+def _gat_bwd(res, g):
+    q, k, v = res
+    b, h, n, d = q.shape
+    if n <= 64:
+        dq, dk, dv = _grand_attention_bwd_xla(q, k, v, g, d ** -0.5)
+    else:
+        qf, kf, vf, gf = (a.reshape(b * h, n, d) for a in (q, k, v, g))
+        dq, dk, dv = grand_attention_bwd_pallas(qf, kf, vf, gf)
+        dq, dk, dv = (a.reshape(b, h, n, d) for a in (dq, dk, dv))
+    return dq, dk, dv
+
+
+grand_attention_trainable.defvjp(_gat_fwd, _gat_bwd)

@@ -46,6 +46,12 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "accuracy_study.j
 # near-chance 954 mm baseline).
 ABS_BUDGET_MM, REL_BUDGET = 0.1, 0.005
 
+# Round-5 (VERDICT r4 Weak #2): the gate covers ALL FOUR protocol metrics
+# (reference run.py:602-614 prints e1/e2/e3/ev) — bf16-pure degraded MPJVE
+# 2.4x while its e1 label alone showed only the 5.4% MPJPE miss. Each
+# metric gets the same two-sided rule vs its OWN baseline value.
+GATED_METRICS = ("e1", "e2", "e3", "ev")
+
 # Variants at a DIFFERENT operating point than the parity path (e.g.
 # multi-hypothesis averaging, which is SUPPOSED to move MPJPE) are reported
 # in the results/deltas tables but excluded from the parity gate — a
@@ -57,27 +63,45 @@ def is_gated(name: str) -> bool:
     return not any(p in name for p in NON_GATED_PREFIXES)
 
 
-def compute_gate(results, base_mpjpe):
+def compute_gate(results, baseline):
     """Pass/fail per eval path vs the flax_f32 parity baseline.
 
-    results: {path_name: {"e1": test_mpjpe_mm, ...}}; returns the gate
-    table written to accuracy_study.json (tested in tests/test_metrics.py).
+    results: {path_name: {"e1": mm, "e2": mm, "e3": mm, "ev": mm}};
+    ``baseline``: the flax_f32 metrics dict (a bare float is accepted as
+    an e1-only baseline for back-compat). Every metric in GATED_METRICS
+    present in both dicts is gated with the same two-sided rule
+    (|delta| <= 0.1 mm AND <= 0.5% of that metric's own baseline); the
+    path passes only if ALL its metrics pass. Returns the gate table
+    written to accuracy_study.json (tested in tests/test_metrics.py).
     """
+    if not isinstance(baseline, dict):
+        baseline = {"e1": float(baseline)}
     gate = {}
     for k, r in results.items():
         if k == "flax_f32" or not is_gated(k):
             continue
-        delta = r["e1"] - base_mpjpe
-        gate[k] = dict(
-            delta_mm=round(delta, 5),
-            delta_rel=round(delta / base_mpjpe, 6),
-            passes_abs=bool(abs(delta) <= ABS_BUDGET_MM),
-            passes_rel=bool(abs(delta) <= REL_BUDGET * base_mpjpe),
-            passes=bool(
-                abs(delta) <= ABS_BUDGET_MM
-                and abs(delta) <= REL_BUDGET * base_mpjpe
-            ),
-        )
+        row, all_pass = {}, True
+        for m in GATED_METRICS:
+            if m not in baseline or m not in r:
+                continue
+            base = baseline[m]
+            delta = r[m] - base
+            ok = bool(abs(delta) <= ABS_BUDGET_MM
+                      and abs(delta) <= REL_BUDGET * base)
+            row[m] = dict(
+                delta_mm=round(delta, 5),
+                delta_rel=round(delta / base, 6),
+                passes_abs=bool(abs(delta) <= ABS_BUDGET_MM),
+                passes_rel=bool(abs(delta) <= REL_BUDGET * base),
+                passes=ok,
+            )
+            all_pass = all_pass and ok
+        # e1 fields stay at the top level (round-2..4 artifact layout) so
+        # existing consumers keep reading the headline MPJPE deltas.
+        gate[k] = dict(row.get("e1", {}), metrics=row, passes_all=all_pass)
+        if "passes" in gate[k]:
+            gate[k]["passes_e1"] = gate[k]["passes"]
+            gate[k]["passes"] = all_pass
     return gate
 
 
@@ -245,6 +269,24 @@ def main():
         ("fast_mixed1_h3",
          dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
               eval_f32_final_steps=1, eval_final_prec="high3"), None),
+        # Round-5 (VERDICT r4 Next #1a): precision tail INSIDE the final
+        # DDIM step — only the last K block pairs + head of that one
+        # forward run f32-high3, the earlier pairs stay bf16. Round 4
+        # proved the whole gate-relevant error sits in the final step's
+        # contraction mode; these localise it further (the final step is
+        # ~3.3x a bf16 forward, so admitting tail4 cuts its cost ~in half).
+        ("fast_mixed1_h3_tail6",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=1, eval_final_prec="high3",
+              eval_f32_tail_pairs=6), None),
+        ("fast_mixed1_h3_tail4",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=1, eval_final_prec="high3",
+              eval_f32_tail_pairs=4), None),
+        ("fast_mixed1_h3_tail2",
+         dict(fast_eval=True, compute_dtype="bfloat16", eval_f32_head=True,
+              eval_f32_final_steps=1, eval_final_prec="high3",
+              eval_f32_tail_pairs=2), None),
     ]
     fixed = {
         "test": next(iter(test_ds.batches(BATCH))),
@@ -353,7 +395,7 @@ def main():
                 clip_frac=round(float((np.abs(p) >= 0.999).mean()), 4),
             )
 
-    gate = compute_gate(results, base)
+    gate = compute_gate(results, results["flax_f32"])
 
     table = {
         "config": dict(frames=FRAMES, embed=EMBED, depth=DEPTH, epochs=EPOCHS,
@@ -364,7 +406,13 @@ def main():
             k: results[k]["e1"] - base for k in results
         },
         "gate": dict(abs_budget_mm=ABS_BUDGET_MM, rel_budget=REL_BUDGET,
-                     baseline_mpjpe_mm=round(base, 4), paths=gate),
+                     gated_metrics=list(GATED_METRICS),
+                     baseline_mpjpe_mm=round(base, 4),
+                     baseline_metrics_mm={
+                         m: round(results["flax_f32"][m], 4)
+                         for m in GATED_METRICS if m in results["flax_f32"]
+                     },
+                     paths=gate),
         "raw_prediction_deviation_vs_flax_f32": deviations,
     }
     with open(OUT, "w") as f:

@@ -154,3 +154,45 @@ def test_fast_eval_f32_prec_pins_contraction(rng):
     from diff3dhpe_tpu.ops.fused_block import f32_contract_mode
 
     assert f32_contract_mode() == "default"
+
+
+def test_fast_eval_f32_tail_pairs(rng):
+    """f32_tail_pairs on a bf16 trunk: the last K block pairs + head run at
+    f32 — output is f32, strictly closer to the flax f32 reference than the
+    pure bf16 path, monotonically improving with deeper tails, and tail=0
+    reproduces the plain bf16+f32_head path exactly."""
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(num_frame=F, num_joints=J, in_chans=2, embed_dim=C,
+                           depth=depth, num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+                           with_time_emb=True, mode="s2s")
+    x = jnp.asarray(rng.standard_normal((2, F, J, 5)), jnp.float32)
+    t = jnp.array([3.0, 700.0])
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    f32 = np.asarray(model.apply({"params": params}, x, t, deterministic=True))
+    kwargs = dict(num_frame=F, num_joints=J, depth=depth, num_heads=8,
+                  dtype=jnp.bfloat16, f32_head=True, interpret=True)
+
+    headed = fast_forward_denoise(params, x, t, **kwargs)
+    tail0 = fast_forward_denoise(params, x, t, f32_tail_pairs=0, **kwargs)
+    tail1 = fast_forward_denoise(params, x, t, f32_tail_pairs=1, **kwargs)
+    tail_all = fast_forward_denoise(params, x, t, f32_tail_pairs=depth, **kwargs)
+    for out in (tail1, tail_all):
+        assert out.dtype == jnp.float32
+
+    np.testing.assert_array_equal(np.asarray(tail0), np.asarray(headed))
+
+    scale = np.abs(f32).max()
+    err = lambda o: np.abs(np.asarray(o, np.float32) - f32).max() / scale
+    # Deeper f32 tails monotonically approach the f32 reference (on CPU the
+    # f32 kernels are exact, so the only residual is the bf16 prefix).
+    assert err(tail_all) < err(tail1) < err(headed)
+    assert err(tail_all) < 2e-2
+
+    # The precision scope wrapper composes with the tail (high3 tail pairs)
+    # and must not leak the mode.
+    t1h3 = fast_forward_denoise(params, x, t, f32_tail_pairs=1,
+                                f32_prec="high3", **kwargs)
+    assert err(t1h3) < err(headed)
+    from diff3dhpe_tpu.ops.fused_block import f32_contract_mode
+
+    assert f32_contract_mode() == "default"

@@ -266,18 +266,22 @@ def test_pair_vjp_forward_matches_fused(setup, temporal_mode):
     assert float(jnp.abs(out - ref).max()) < 1e-6
 
 
-def test_pair_vjp_grads_match_monolithic(setup):
+@pytest.mark.parametrize("temporal_mode", ["rows", "cols"])
+def test_pair_vjp_grads_match_monolithic(setup, temporal_mode):
     """Pair-boundary backward (per-pair XLA recompute from stored
     boundaries) must reproduce the monolithic custom-VJP gradients — the
     boundary placement changes memory/scheduling, not math. Active
-    drop-path scales so branch-scale cotangents are exercised."""
+    drop-path scales so branch-scale cotangents are exercised; both
+    temporal kernel layouts, so a cols-specific forward/mirror divergence
+    would surface here rather than as silently wrong gradients (round-4
+    advisor finding)."""
     _, params, x, t = setup
     dp = draw_drop_path_scales(
         jax.random.PRNGKey(9), 3, D, 0.5, num_frame=F, num_joints=J
     )
     cfg = FastTrainCfg(
         num_frame=F, num_joints=J, depth=D, num_heads=8, with_time_emb=True,
-        mode="s2s", dtype_name="float32", temporal_mode="rows",
+        mode="s2s", dtype_name="float32", temporal_mode=temporal_mode,
     )
 
     def loss_pairs(p):
@@ -316,3 +320,31 @@ def test_ckpt_blocks_backward_matches_monolithic(setup):
     g2 = jax.grad(loss(cfg_blk))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_attn_bwd_grads_match(setup):
+    """attn_bwd=True (flash-style fused attention backward in the recompute
+    mirror) must leave gradients unchanged to float tolerance — it replaces
+    the einsum attention VJP with hand-derived kernels, not the math."""
+    _, params, x, t = setup
+    dp = draw_drop_path_scales(
+        jax.random.PRNGKey(9), 3, D, 0.5, num_frame=F, num_joints=J
+    )
+    base = dict(num_frame=F, num_joints=J, depth=D, num_heads=8,
+                with_time_emb=True, mode="s2s", dtype_name="float32",
+                temporal_mode="rows")
+    cfg_ein = FastTrainCfg(**base)
+    cfg_fused = FastTrainCfg(**base, attn_bwd=True)
+
+    def loss(cfg):
+        return lambda p: jnp.sum(
+            fast_forward_denoise_train_pairs(p, x, t, dp, cfg) ** 2
+        )
+
+    ge = jax.grad(loss(cfg_ein))(params)
+    gf = jax.grad(loss(cfg_fused))(params)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
+        gf, ge,
+    )
+    assert max(jax.tree.leaves(rel)) < 2e-5, rel

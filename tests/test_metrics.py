@@ -253,3 +253,41 @@ def test_accuracy_gate_rule():
         {"flax_f32": {"e1": 30.0}, "fast_f32_rep4": {"e1": 29.0}}, 30.0
     )
     assert "fast_f32_rep4" not in gate_rep
+
+
+def test_accuracy_gate_all_metrics():
+    """Round-5 gate extension (VERDICT r4 Weak #2): the gate covers all
+    four protocol metrics (e1/e2/e3/ev, reference run.py:602-614), each
+    against its OWN baseline — a path whose MPJPE is inside budget but
+    whose velocity error (ev) drifts (the bf16-pure failure mode: ev
+    3.244 vs 1.327 mm) must FAIL overall."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from accuracy_study import compute_gate
+
+    base = {"e1": 10.0, "e2": 8.0, "e3": 9.5, "ev": 1.3}
+    results = {
+        "flax_f32": base,
+        # inside budget on every metric
+        "good": {"e1": 10.01, "e2": 8.01, "e3": 9.49, "ev": 1.301},
+        # e1 fine, ev blown (the bf16-pure failure mode)
+        "ev_blown": {"e1": 10.01, "e2": 8.01, "e3": 9.5, "ev": 3.2},
+        # e2 outside its own rel budget (0.5% of 8.0 = 0.04)
+        "e2_fail": {"e1": 10.0, "e2": 8.05, "e3": 9.5, "ev": 1.3},
+    }
+    gate = compute_gate(results, base)
+    assert gate["good"]["passes"] and gate["good"]["passes_all"]
+    assert all(m["passes"] for m in gate["good"]["metrics"].values())
+    assert len(gate["good"]["metrics"]) == 4
+
+    assert not gate["ev_blown"]["passes"]
+    assert gate["ev_blown"]["passes_e1"]          # e1 alone was inside
+    assert not gate["ev_blown"]["metrics"]["ev"]["passes"]
+
+    assert not gate["e2_fail"]["passes"]
+    assert not gate["e2_fail"]["metrics"]["e2"]["passes_rel"]
+
+    # Top level keeps the e1 fields (artifact back-compat).
+    assert gate["good"]["delta_mm"] == round(0.01, 5)

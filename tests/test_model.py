@@ -201,3 +201,57 @@ def test_bf16_activation_path_close_to_f32():
     # bf16 has ~3 decimal digits; depth-2 error accumulation ~1e-2 relative.
     scale = np.abs(out32).max()
     assert np.abs(out16 - out32).max() / scale < 5e-2
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference tree not available")
+@pytest.mark.parametrize("mode", ["s2s", "s2f"])
+def test_torch_state_dict_round_trip(mode):
+    """The jax->torch inverse converter (io/torch_convert.py::
+    convert_params_to_torch_state_dict) must load STRICTLY into the bare
+    reference model and round-trip back to the identical param tree — the
+    converter pair that closes the trained-weight torch-vs-jax parity
+    chain (scripts/torch_parity.py)."""
+    torch = pytest.importorskip("torch")
+    from diff3dhpe_tpu.io.torch_convert import convert_params_to_torch_state_dict
+
+    S2S, S2F = _import_reference_models()
+    F, J, C, depth = 9, 17, 64, 2
+    model = MixSTEDenoiser(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=depth,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True,
+        drop_path_rate=0.1, with_time_emb=True, mode=mode,
+    )
+    x = jnp.zeros((1, F, J, 5))
+    params = model.init(jax.random.PRNGKey(3), x, jnp.zeros((1,)))["params"]
+
+    sd = convert_params_to_torch_state_dict(
+        params, depth=depth, with_time_emb=True, mode=mode
+    )
+    cls = S2S if mode == "s2s" else S2F
+    ref = cls(
+        num_frame=F, num_joints=J, in_chans=2, embed_dim=C, depth=depth,
+        num_heads=8, mlp_ratio=2.0, qkv_bias=True, qk_scale=None,
+        drop_path_rate=0.1, with_time_emb=True,
+    )
+    # strict load: every reference parameter must be covered, no extras.
+    ref.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()}, strict=True)
+    ref.eval()
+
+    # Round-trip back and compare every leaf bit-exactly.
+    back = convert_torch_state_dict(
+        ref.state_dict(), depth=depth, with_time_emb=True, mode=mode
+    )
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
+
+    # And the torch forward on the loaded weights matches the flax forward.
+    rng = np.random.default_rng(5)
+    xin = rng.standard_normal((2, F, J, 5)).astype(np.float32)
+    t = np.array([10.0, 800.0], dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref.forward_denoise(torch.from_numpy(xin), torch.from_numpy(t)).numpy()
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(xin), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=2e-5)

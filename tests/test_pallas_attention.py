@@ -144,3 +144,56 @@ def test_model_with_pallas_matches_xla(rng):
     out_xla = m_xla.apply({"params": params}, x, t)
     out_pal = m_pal.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_xla), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [17, 96, 243])
+def test_trainable_attention_grads_match_autodiff(rng, n):
+    """grand_attention_trainable's hand-derived backward (flash-style
+    Pallas kernel for long N, XLA formulas for small N) must reproduce
+    jax.grad through the einsum path to float tolerance — the correctness
+    contract of the fused training backward (VERDICT r4 Next #3)."""
+    from diff3dhpe_tpu.ops.attention import (
+        grand_attention,
+        grand_attention_trainable,
+    )
+
+    b, h, d = 2, 3, 16
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(grand_attention(q, k, v) * w)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(grand_attention_trainable(q, k, v) * w)
+
+    ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_trainable_attention_grads_nonmultiple_of_8(rng):
+    """N=243 pads to 248 inside the backward kernel: pad keys are masked
+    out of the recomputed softmax and pad dq rows sliced — the gradient on
+    REAL rows must be unaffected (covered above at n=243); here the raw
+    group-level kernel is checked directly against the XLA formulas."""
+    from diff3dhpe_tpu.ops.attention import (
+        _grand_attention_bwd_xla,
+        grand_attention_bwd_pallas,
+    )
+
+    g, n, d = 3, 43, 32
+    q = jnp.asarray(rng.standard_normal((g, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((g, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((g, n, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((g, n, d)), jnp.float32)
+    ref = _grand_attention_bwd_xla(q, k, v, do, d ** -0.5)
+    got = grand_attention_bwd_pallas(q, k, v, do, interpret=True)
+    for a, b_ in zip(got, ref):
+        assert a.shape == (g, n, d)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
