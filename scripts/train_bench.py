@@ -7,7 +7,7 @@ the train path used to report seq/s only, with no roofline accounting).
   python scripts/train_bench.py VARIANT [B] [FRAMES]   # one point
   python scripts/train_bench.py sweep                  # full table
 
-VARIANT: {flax,flaxblk,fast,fastblk,fastpair}_{f32,bf16}
+VARIANT: {flax,flaxblk,fast,fastblk,fastpair,fastattn}_{f32,bf16}
   flax_*:     regular flax forward, WHOLE-graph remat (round-1 path).
   flaxblk_*:  flax forward, per-BLOCK remat (Config remat_mode="block").
   fast_*:     fused Pallas forward + monolithic XLA-recompute backward
@@ -16,6 +16,9 @@ VARIANT: {flax,flaxblk,fast,fastblk,fastpair}_{f32,bf16}
   fastpair_*: fused forward with pair-boundary custom VJP — the backward
               recomputes one (spatial, temporal) pair at a time from
               stored boundaries (fast_forward_denoise_train_pairs).
+  fastattn_*: fastpair + the flash-style fused attention backward
+              (ops/attention.py::grand_attention_trainable) in the
+              recompute mirror.
 B defaults to 8, FRAMES to 243 (round-1 baseline: 361 ms/step = 22.2 seq/s).
 
 FLOPs accounting (reference hot path run.py:312-347 has no counterpart —
@@ -47,8 +50,20 @@ PEAK_TFLOPS = 197.0  # v5e bf16 peak per chip (bench.py uses the same)
 
 SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "flaxblk_f32", "flaxblk_bf16",
                   "fast_f32", "fast_bf16", "fastblk_f32", "fastblk_bf16",
-                  "fastpair_f32", "fastpair_bf16")
+                  "fastpair_f32", "fastpair_bf16",
+                  "fastattn_f32", "fastattn_bf16")
 SWEEP_BATCHES = (8, 16, 32)
+
+# Substrings that identify RETRYABLE infrastructure failures (relay wedge /
+# env hiccup) as opposed to terminal ones (OOM, compile overflow). Round-4
+# advisor finding: three fastpair cells died on TPU_WORKER_HOSTNAMES / HTTP
+# 500 relay errors yet were cached as terminal "failed" entries the
+# resumable sweep then skipped forever.
+RETRYABLE_MARKERS = (
+    "TPU_WORKER_HOSTNAMES", "HTTP", "Connection", "Deadline", "UNAVAILABLE",
+    "Socket", "timed out",
+)
+TERMINAL_MARKERS = ("RESOURCE_EXHAUSTED", "Exhausted", "out of memory", "OOM")
 
 
 def measure(variant: str, b: int, frames: int) -> dict:
@@ -83,12 +98,15 @@ def measure(variant: str, b: int, frames: int) -> dict:
         # fastpair = pair-boundary custom VJP (round-4: backward
         # recomputes one (spatial, temporal) pair at a time from stored
         # boundaries — monolithic FLOPs at flaxblk memory).
+        # fastattn = fastpair + the flash-style fused attention backward
+        # (grand_attention_trainable) in the recompute mirror.
         denoise_fn = make_fast_train_denoise_fn(
             num_frame=frames, num_joints=J, depth=D, num_heads=8,
             with_time_emb=True, mode="s2s",
             dtype=dtype or jnp.float32, drop_path_rate=0.1,
             ckpt_blocks=(path == "fastblk"),
-            pair_vjp=(path == "fastpair"),
+            pair_vjp=(path in ("fastpair", "fastattn")),
+            attn_bwd=(path == "fastattn"),
         )
     diffusion = GaussianDiffusion.create(
         denoise_fn, timesteps=1000, sampling_timesteps=9,
@@ -156,14 +174,22 @@ def sweep():
             key = f"{variant}_b{b}"
             if key in table:
                 cached = table[key]
-                if cached.get("failed"):
-                    print(f"{key}: cached FAILURE (delete from "
-                          f"{os.path.basename(SWEEP_OUT)} to re-attempt)",
+                if cached.get("failed") and cached.get("retryable"):
+                    # Infra failure (relay wedge / env hiccup): re-attempt
+                    # on every sweep run instead of caching it forever.
+                    print(f"{key}: cached RETRYABLE failure — re-attempting",
                           flush=True)
+                    del table[key]
+                elif cached.get("failed"):
+                    print(f"{key}: cached TERMINAL failure "
+                          f"({cached.get('reason', 'see error field')}; "
+                          f"delete from {os.path.basename(SWEEP_OUT)} to "
+                          f"re-attempt)", flush=True)
+                    continue
                 else:
                     print(f"{key}: cached ({cached['seqs_per_sec']} seq/s, "
                           f"MFU {cached['mfu']})", flush=True)
-                continue
+                    continue
             # Each point in its own subprocess: a clean jit cache, and one
             # wedged measurement only loses that point on watchdog restart.
             r = subprocess.run(
@@ -172,20 +198,30 @@ def sweep():
                 capture_output=True, text=True,
             )
             if r.returncode != 0:
-                # A point can fail terminally (e.g. flax_f32_b32's remat
-                # graph overflows the remote compile helper — HTTP 500).
-                # Record it as failed and move on; a retry would fail the
-                # same way and starve the rest of the sweep through the
-                # watchdog's restart budget. Delete the entry from
-                # train_roofline.json to re-attempt.
+                # Classify the failure before caching it: terminal failures
+                # (OOM / compile overflow — a retry would fail identically
+                # and starve the sweep through the watchdog's restart
+                # budget) are cached with a reason; infrastructure failures
+                # (relay wedge, env hiccup) are cached as retryable, so the
+                # next sweep run re-attempts them (round-4 advisor finding).
                 err_lines = [l for l in r.stderr.splitlines()
                              if any(s in l for s in
                                     ("Error", "INTERNAL", "RESOURCE",
-                                     "Exhausted", "HTTP"))]
+                                     "Exhausted", "HTTP", "UNAVAILABLE",
+                                     "TPU_WORKER_HOSTNAMES"))]
                 tail = "\n".join(err_lines[-3:] or
                                  r.stderr.strip().splitlines()[-3:])
-                print(f"{key}: FAILED rc={r.returncode}: {tail}", flush=True)
-                table[key] = dict(failed=True, rc=r.returncode, error=tail)
+                retryable = (
+                    any(m in r.stderr for m in RETRYABLE_MARKERS)
+                    and not any(m in r.stderr for m in TERMINAL_MARKERS)
+                )
+                reason = ("relay/env infrastructure error (retryable)"
+                          if retryable else
+                          "OOM or compile overflow (terminal)")
+                print(f"{key}: FAILED rc={r.returncode} [{reason}]: {tail}",
+                      flush=True)
+                table[key] = dict(failed=True, retryable=retryable,
+                                  reason=reason, rc=r.returncode, error=tail)
                 with open(SWEEP_OUT, "w") as f:
                     json.dump(table, f, indent=2, sort_keys=True)
                 continue
