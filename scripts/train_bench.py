@@ -48,10 +48,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 SWEEP_OUT = os.path.join(HERE, "train_roofline.json")
 PEAK_TFLOPS = 197.0  # v5e bf16 peak per chip (bench.py uses the same)
 
+# fastattn_* leads the uncached tail of the sweep: its cells are the
+# round-5 fused-attention-backward evidence (all earlier variants are
+# fully cached in train_roofline.json and skip instantly), so a sweep cut
+# short by the relay still measures the new backward before re-attempting
+# the fastpair retryable cells.
 SWEEP_VARIANTS = ("flax_f32", "flax_bf16", "flaxblk_f32", "flaxblk_bf16",
                   "fast_f32", "fast_bf16", "fastblk_f32", "fastblk_bf16",
-                  "fastpair_f32", "fastpair_bf16",
-                  "fastattn_f32", "fastattn_bf16")
+                  "fastattn_f32", "fastattn_bf16",
+                  "fastpair_f32", "fastpair_bf16")
 SWEEP_BATCHES = (8, 16, 32)
 
 # Substrings that identify RETRYABLE infrastructure failures (relay wedge /
