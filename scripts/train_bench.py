@@ -216,13 +216,24 @@ def sweep():
                                      "TPU_WORKER_HOSTNAMES"))]
                 tail = "\n".join(err_lines[-3:] or
                                  r.stderr.strip().splitlines()[-3:])
-                retryable = (
-                    any(m in r.stderr for m in RETRYABLE_MARKERS)
-                    and not any(m in r.stderr for m in TERMINAL_MARKERS)
-                )
-                reason = ("relay/env infrastructure error (retryable)"
-                          if retryable else
-                          "OOM or compile overflow (terminal)")
+                infra = any(m in r.stderr for m in RETRYABLE_MARKERS)
+                exhausted = any(m in r.stderr for m in TERMINAL_MARKERS)
+                # An unambiguous OOM/compile overflow is terminal. When the
+                # stderr carries BOTH a relay signature (HTTP 500 from the
+                # remote compile helper, TPU_WORKER_HOSTNAMES env wedge)
+                # AND an exhaustion string, the exhaustion text usually
+                # comes from the helper's own crash noise — classify it
+                # retryable so one re-attempt on the next sweep run settles
+                # it (round-5: two fastattn_f32 cells hit exactly this).
+                retryable = infra
+                if infra and exhausted:
+                    reason = ("ambiguous relay error (HTTP/env-wedge "
+                              "signature with exhaustion strings in the "
+                              "helper noise) — retryable")
+                elif retryable:
+                    reason = "relay/env infrastructure error (retryable)"
+                else:
+                    reason = "OOM or compile overflow (terminal)"
                 print(f"{key}: FAILED rc={r.returncode} [{reason}]: {tail}",
                       flush=True)
                 table[key] = dict(failed=True, retryable=retryable,
