@@ -129,6 +129,10 @@ class Config:
     # attention runs through a custom-VJP pair of Pallas kernels (forward
     # dispatcher + flash-style in-VMEM backward) instead of XLA einsums —
     # no [G, N, N] probability tensors in HBM during the backward.
+    # Measured SLOWER than the XLA einsum backward at every completing
+    # flagship cell (b8 bf16 40.9 vs 42.0; PERF.md "Round-5: fused
+    # GRAND attention backward") — kept opt-in for memory-bound regimes
+    # and as the parity-tested kernel seed for other geometries.
     fast_train_attn_bwd: bool = False
 
     # Checkpointing / eval
