@@ -134,7 +134,9 @@ def make_fast_train_denoise_fn(
     the round-3 monolithic backward; ``ckpt_blocks`` then checkpoints it
     per block (slower: +1 forward of recompute FLOPs). ``attn_bwd`` runs
     the mirror's attention through the flash-style fused backward kernel
-    (ops/attention.py::grand_attention_trainable) instead of einsums."""
+    (ops/attention.py::grand_attention_trainable) instead of einsums —
+    measured slower at flagship geometry (PERF.md "Round-5: fused GRAND
+    attention backward"), kept opt-in."""
     import jax.numpy as jnp
 
     from diff3dhpe_tpu.models.fast_eval import (
